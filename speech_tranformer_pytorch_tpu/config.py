@@ -1,0 +1,273 @@
+"""Typed configuration system for the TPU-native Speech-Transformer.
+
+Reference parity: the PyTorch reference configures everything through an
+argparse block in ``train.py`` / ``recognize.py`` (SURVEY.md L6 — the
+reference source was unreadable this session, so hparams follow the
+Speech-Transformer paper, Dong, Xu & Xu, ICASSP 2018, and BASELINE.json's
+preset list). Here configuration is typed dataclasses with named presets
+(Tiny/Base/Large/LibriSpeech/Sharded per BASELINE.json "configs") plus CLI
+overrides, and a config hash recorded in checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import Any, Optional, Tuple
+
+
+def _asdict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {f.name: _asdict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_asdict(x) for x in obj]
+    return obj
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Log-mel filterbank front-end (reference: torchaudio/Kaldi fbank)."""
+
+    sample_rate: int = 16000
+    # Kaldi-style 25 ms window / 10 ms hop.
+    frame_length_ms: float = 25.0
+    frame_shift_ms: float = 10.0
+    num_mel_bins: int = 80
+    fft_length: int = 512          # next pow2 >= 400 samples @ 16 kHz
+    low_freq: float = 20.0
+    high_freq: float = 0.0         # 0 => Nyquist
+    preemphasis: float = 0.97
+    window: str = "povey"          # povey | hann | hamming
+    dither: float = 0.0            # train-time dither amplitude (0 = off)
+    use_log: bool = True
+    cmvn: bool = True              # per-utterance mean-variance normalisation
+    use_pallas: bool = False       # fused Pallas STFT+mel kernel vs jnp path
+
+    @property
+    def frame_length(self) -> int:
+        return int(self.sample_rate * self.frame_length_ms / 1000.0)
+
+    @property
+    def frame_shift(self) -> int:
+        return int(self.sample_rate * self.frame_shift_ms / 1000.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpecAugmentConfig:
+    """SpecAugment (Park et al., 2019) — Large/LibriSpeech presets."""
+
+    enabled: bool = False
+    num_freq_masks: int = 2
+    freq_mask_width: int = 27
+    num_time_masks: int = 2
+    time_mask_width: int = 100
+    time_mask_max_frac: float = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Encoder-decoder Transformer dims (paper Table 1 / SURVEY.md L2-L3)."""
+
+    vocab_size: int = 4336         # AISHELL-1 chars + specials (rebuilt from data)
+    d_model: int = 512
+    num_heads: int = 8
+    d_ff: int = 2048
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_dim: int = 80            # mel bins
+    subsample_channels: int = 64   # conv2d-subsampling channel width
+    max_source_positions: int = 3000
+    max_target_positions: int = 512
+    share_embedding: bool = True   # tie decoder embed and output projection
+    normalize_before: bool = True  # pre-LN (repo-family default); False = paper post-LN
+    dtype: str = "bfloat16"        # activation dtype (params stay f32)
+    use_flash_attention: bool = True  # Pallas flash-attn vs jnp reference path
+    remat: bool = False            # jax.checkpoint each block (HBM for FLOPs)
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Noam/warmup Adam training (reference TransformerOptimizer)."""
+
+    batch_size: int = 64               # global batch (utterances)
+    max_frames_per_batch: int = 0      # 0 => fixed utterance count batching
+    num_epochs: int = 80
+    warmup_steps: int = 4000
+    peak_lr_scale: float = 1.0         # k in k * d_model^-0.5 * min(...)
+    adam_b1: float = 0.9
+    adam_b2: float = 0.98
+    adam_eps: float = 1e-9
+    grad_clip_norm: float = 5.0
+    label_smoothing: float = 0.1
+    weight_decay: float = 0.0
+    seed: int = 0
+    log_every: int = 100
+    checkpoint_every_steps: int = 1000
+    keep_checkpoints: int = 5
+    eval_every_steps: int = 2000
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    train_manifest: str = ""
+    dev_manifest: str = ""
+    test_manifest: str = ""
+    vocab_path: str = ""
+    tokenizer: str = "char"            # char | bpe
+    bpe_vocab_size: int = 5000
+    max_source_frames: int = 3000      # drop/clip longer utterances
+    max_target_len: int = 128
+    bucket_boundaries: Tuple[int, ...] = (200, 400, 600, 800, 1000, 1400, 2000, 3000)
+    shuffle_buffer: int = 10000
+    num_workers: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    beam_size: int = 5
+    max_decode_len: int = 100
+    length_penalty: float = 1.0        # GNMT-style ((5+len)/6)^alpha weighting
+    max_len_ratio: float = 0.0         # 0 => use max_decode_len as-is
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for DP/TP (reference: none — single GPU)."""
+
+    data_axis: int = 0                 # 0 => all remaining devices
+    model_axis: int = 1                # TP degree (1 = no TP)
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "base"
+    features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
+    spec_augment: SpecAugmentConfig = dataclasses.field(default_factory=SpecAugmentConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    decode: DecodeConfig = dataclasses.field(default_factory=DecodeConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def to_dict(self) -> dict:
+        return _asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    def config_hash(self) -> str:
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _nested_replace(cfg: ExperimentConfig, dotted: str, value: Any) -> ExperimentConfig:
+    """Apply one ``section.field=value`` override."""
+    parts = dotted.split(".")
+    if len(parts) == 1:
+        return dataclasses.replace(cfg, **{parts[0]: value})
+    section_name, field = parts[0], ".".join(parts[1:])
+    section = getattr(cfg, section_name)
+    new_section = _nested_replace(section, field, value) if "." in field else dataclasses.replace(section, **{field: value})
+    return dataclasses.replace(cfg, **{section_name: new_section})
+
+
+def apply_overrides(cfg: ExperimentConfig, overrides: dict[str, Any]) -> ExperimentConfig:
+    for key, value in overrides.items():
+        cfg = _nested_replace(cfg, key, value)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Presets — exactly the five configs enumerated in BASELINE.json.
+# ---------------------------------------------------------------------------
+
+def tiny_config() -> ExperimentConfig:
+    """3-enc/3-dec, d_model=256, 4 heads — CPU-runnable overfit anchor."""
+    return ExperimentConfig(
+        name="tiny",
+        model=ModelConfig(
+            vocab_size=64, d_model=256, num_heads=4, d_ff=1024,
+            num_encoder_layers=3, num_decoder_layers=3,
+            subsample_channels=32, dropout_rate=0.1,
+            max_source_positions=512, max_target_positions=64,
+            use_flash_attention=False, dtype="float32",
+        ),
+        train=TrainConfig(batch_size=8, warmup_steps=100, grad_clip_norm=5.0),
+        decode=DecodeConfig(beam_size=5, max_decode_len=32),
+    )
+
+
+def base_config() -> ExperimentConfig:
+    """6/6, d_model=512, 8 heads — the paper / AISHELL-1 headline config."""
+    return ExperimentConfig(name="base")
+
+
+def large_config() -> ExperimentConfig:
+    """12-enc/6-dec, d_model=768, SpecAugment + 3000-frame buckets."""
+    return ExperimentConfig(
+        name="large",
+        model=ModelConfig(
+            d_model=768, num_heads=12, d_ff=3072,
+            num_encoder_layers=12, num_decoder_layers=6,
+            max_source_positions=3000, remat=True,
+        ),
+        spec_augment=SpecAugmentConfig(enabled=True),
+        train=TrainConfig(batch_size=96, warmup_steps=8000),
+    )
+
+
+def librispeech_config() -> ExperimentConfig:
+    """LibriSpeech-960h, BPE-5k subword outputs, label smoothing 0.1."""
+    return ExperimentConfig(
+        name="librispeech",
+        model=ModelConfig(
+            vocab_size=5000, d_model=512, num_heads=8,
+            num_encoder_layers=12, num_decoder_layers=6,
+            max_target_positions=256,
+        ),
+        spec_augment=SpecAugmentConfig(enabled=True),
+        data=DataConfig(tokenizer="bpe", bpe_vocab_size=5000, max_target_len=256),
+        train=TrainConfig(batch_size=96, warmup_steps=10000, label_smoothing=0.1),
+    )
+
+
+def sharded_config() -> ExperimentConfig:
+    """d_model=2048 encoder, GSPMD TP + multi-host DP beam (v4-16 target)."""
+    return ExperimentConfig(
+        name="sharded",
+        model=ModelConfig(
+            d_model=2048, num_heads=16, d_ff=8192,
+            num_encoder_layers=12, num_decoder_layers=6,
+            subsample_channels=128, remat=True,
+        ),
+        train=TrainConfig(batch_size=256, warmup_steps=12000),
+        mesh=MeshConfig(data_axis=0, model_axis=4),
+    )
+
+
+PRESETS = {
+    "tiny": tiny_config,
+    "base": base_config,
+    "large": large_config,
+    "librispeech": librispeech_config,
+    "sharded": sharded_config,
+}
+
+
+def get_config(name: str, **overrides: Any) -> ExperimentConfig:
+    if name not in PRESETS:
+        raise ValueError(f"unknown preset {name!r}; choose from {sorted(PRESETS)}")
+    cfg = PRESETS[name]()
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg

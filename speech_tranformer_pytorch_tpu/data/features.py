@@ -1,0 +1,194 @@
+"""Log-mel filterbank frontend, jnp path.
+
+Reference parity: the PyTorch reference extracts 80-dim Kaldi-style fbank
+features (25 ms window / 10 ms hop) via torchaudio/Kaldi native DSP
+(SURVEY.md §2.1 "Fbank frontend"; source unreadable this session). Here the
+whole chain — framing → DC removal → pre-emphasis → window → rFFT → mel →
+log → CMVN — is a batched, static-shape jnp program that jits onto TPU; the
+fused Pallas STFT+mel kernel (kernels/stft_mel.py) is a flag-gated drop-in
+validated against this path's goldens.
+
+Kaldi conventions implemented (snip-edges framing, povey window, per-frame
+DC offset removal, in-frame pre-emphasis, HTK mel scale 1127·ln(1+f/700)).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FeatureConfig
+
+_LOG_EPS = 1.1920928955078125e-07  # float32 eps, matches Kaldi's floor
+
+
+def num_frames(num_samples: int, frame_length: int, frame_shift: int) -> int:
+    """Kaldi snip-edges frame count."""
+    if num_samples < frame_length:
+        return 0
+    return 1 + (num_samples - frame_length) // frame_shift
+
+
+def frame_lengths_from_sample_lengths(
+    sample_lengths: jnp.ndarray, frame_length: int, frame_shift: int
+) -> jnp.ndarray:
+    """Per-utterance valid-frame counts (int32) from sample counts."""
+    n = 1 + (sample_lengths - frame_length) // frame_shift
+    return jnp.maximum(n, 0).astype(jnp.int32)
+
+
+def make_window(kind: str, length: int) -> np.ndarray:
+    n = np.arange(length, dtype=np.float64)
+    a = 2.0 * math.pi / (length - 1)
+    if kind == "povey":
+        w = (0.5 - 0.5 * np.cos(a * n)) ** 0.85
+    elif kind == "hann":
+        w = 0.5 - 0.5 * np.cos(a * n)
+    elif kind == "hamming":
+        w = 0.54 - 0.46 * np.cos(a * n)
+    else:
+        raise ValueError(f"unknown window {kind!r}")
+    return w.astype(np.float32)
+
+
+def hz_to_mel(hz):
+    return 1127.0 * np.log1p(np.asarray(hz, np.float64) / 700.0)
+
+
+def mel_to_hz(mel):
+    return 700.0 * (np.expm1(np.asarray(mel, np.float64) / 1127.0))
+
+
+def make_mel_matrix(
+    num_bins: int,
+    fft_length: int,
+    sample_rate: int,
+    low_freq: float = 20.0,
+    high_freq: float = 0.0,
+) -> np.ndarray:
+    """[fft_length//2 + 1, num_bins] triangular mel weights (HTK scale)."""
+    nyquist = sample_rate / 2.0
+    if high_freq <= 0.0:
+        high_freq = nyquist + high_freq
+    num_fft_bins = fft_length // 2 + 1
+    fft_freqs = np.linspace(0.0, nyquist, num_fft_bins)
+    mel_lo, mel_hi = hz_to_mel(low_freq), hz_to_mel(high_freq)
+    mel_points = np.linspace(mel_lo, mel_hi, num_bins + 2)
+    fft_mels = hz_to_mel(fft_freqs)
+
+    left = mel_points[:-2][None, :]     # [1, num_bins]
+    center = mel_points[1:-1][None, :]
+    right = mel_points[2:][None, :]
+    m = fft_mels[:, None]               # [num_fft_bins, 1]
+    up = (m - left) / np.maximum(center - left, 1e-10)
+    down = (right - m) / np.maximum(right - center, 1e-10)
+    weights = np.maximum(0.0, np.minimum(up, down))
+    return weights.astype(np.float32)
+
+
+def frame_signal(waveform: jnp.ndarray, frame_length: int, frame_shift: int, n_frames: int) -> jnp.ndarray:
+    """[..., S] -> [..., n_frames, frame_length] (gather-based framing)."""
+    idx = (
+        jnp.arange(n_frames, dtype=jnp.int32)[:, None] * frame_shift
+        + jnp.arange(frame_length, dtype=jnp.int32)[None, :]
+    )
+    return jnp.take(waveform, idx, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_frames"))
+def _log_mel_impl(
+    waveform: jnp.ndarray,
+    cfg: FeatureConfig,
+    n_frames: int,
+    dither_key: Optional[jax.Array],
+) -> jnp.ndarray:
+    x = waveform.astype(jnp.float32)
+    if dither_key is not None and cfg.dither > 0.0:
+        x = x + cfg.dither * jax.random.normal(dither_key, x.shape, jnp.float32)
+
+    frames = frame_signal(x, cfg.frame_length, cfg.frame_shift, n_frames)
+    # Per-frame DC offset removal (Kaldi remove_dc_offset=True).
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    # In-frame pre-emphasis: y[n] = x[n] - k*x[n-1], first sample vs itself.
+    if cfg.preemphasis > 0.0:
+        prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+        frames = frames - cfg.preemphasis * prev
+
+    window = jnp.asarray(make_window(cfg.window, cfg.frame_length))
+    frames = frames * window
+
+    spec = jnp.fft.rfft(frames, n=cfg.fft_length, axis=-1)
+    power = jnp.square(jnp.real(spec)) + jnp.square(jnp.imag(spec))
+
+    mel_mat = jnp.asarray(
+        make_mel_matrix(cfg.num_mel_bins, cfg.fft_length, cfg.sample_rate,
+                        cfg.low_freq, cfg.high_freq)
+    )
+    mel = power @ mel_mat                      # [..., n_frames, num_bins]
+    if cfg.use_log:
+        mel = jnp.log(jnp.maximum(mel, _LOG_EPS))
+    return mel
+
+
+def log_mel_spectrogram(
+    waveform: jnp.ndarray,
+    cfg: FeatureConfig,
+    *,
+    dither_key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """[..., S] waveform -> [..., T, num_mel_bins] log-mel features.
+
+    Static-shape: T is derived from S at trace time; use
+    ``frame_lengths_from_sample_lengths`` for the per-utterance valid count.
+    Set ``cfg.use_pallas=True`` to route through the fused Pallas STFT+mel
+    kernel instead of this jnp path.
+    """
+    n = num_frames(waveform.shape[-1], cfg.frame_length, cfg.frame_shift)
+    if n <= 0:
+        raise ValueError(
+            f"waveform too short: {waveform.shape[-1]} samples < "
+            f"{cfg.frame_length} frame_length"
+        )
+    if cfg.use_pallas:
+        from ..kernels.stft_mel import log_mel_pallas
+        return log_mel_pallas(waveform, cfg, n)
+    return _log_mel_impl(waveform, cfg, n, dither_key)
+
+
+def apply_cmvn(
+    feats: jnp.ndarray,           # [B, T, F]
+    frame_lens: jnp.ndarray,      # [B]
+    *,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Per-utterance cepstral mean-variance normalisation over valid frames."""
+    t = feats.shape[1]
+    valid = (jnp.arange(t)[None, :] < frame_lens[:, None]).astype(feats.dtype)[..., None]
+    count = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1.0)
+    mean = jnp.sum(feats * valid, axis=1, keepdims=True) / count
+    var = jnp.sum(jnp.square(feats - mean) * valid, axis=1, keepdims=True) / count
+    normed = (feats - mean) * jax.lax.rsqrt(var + eps)
+    return normed * valid
+
+
+def extract_features(
+    waveforms: jnp.ndarray,        # [B, S] padded audio
+    sample_lengths: jnp.ndarray,   # [B] valid sample counts
+    cfg: FeatureConfig,
+    *,
+    dither_key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full frontend: fbank (+ optional CMVN). Returns (feats[B,T,F], frame_lens[B])."""
+    feats = log_mel_spectrogram(waveforms, cfg, dither_key=dither_key)
+    frame_lens = frame_lengths_from_sample_lengths(
+        sample_lengths, cfg.frame_length, cfg.frame_shift
+    )
+    frame_lens = jnp.minimum(frame_lens, feats.shape[-2])
+    if cfg.cmvn:
+        feats = apply_cmvn(feats, frame_lens)
+    return feats, frame_lens

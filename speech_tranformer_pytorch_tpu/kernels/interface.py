@@ -1,0 +1,56 @@
+"""Dispatch layer between jnp reference ops and Pallas TPU kernels.
+
+Each hot op exists twice: a jnp reference implementation (always available,
+any backend) and a Pallas kernel (TPU). Golden tests pin the kernel to the
+reference path (SURVEY.md §4). Selection: config flag + backend check, with
+env-var kill switch ST_TPU_DISABLE_PALLAS=1.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _pallas_ok() -> bool:
+    if os.environ.get("ST_TPU_DISABLE_PALLAS", "0") == "1":
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def flash_attention(
+    q: jnp.ndarray,               # [B, T, H, D]
+    k: jnp.ndarray,               # [B, S, H, D]
+    v: jnp.ndarray,               # [B, S, H, D]
+    *,
+    bias: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    q_lengths: Optional[jnp.ndarray] = None,
+    kv_lengths: Optional[jnp.ndarray] = None,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Flash attention entry point; falls back to the jnp path off-TPU, when
+    attention dropout is active, or when shapes are too small to tile."""
+    from ..models.modules import dot_product_attention
+
+    use_kernel = (
+        _pallas_ok()
+        and (deterministic or dropout_rate == 0.0)
+        and q.shape[1] >= 128 and k.shape[1] >= 128
+        and q.shape[-1] in (32, 64, 128, 256)
+    )
+    if use_kernel:
+        try:
+            from .flash_attention import mha_flash
+            return mha_flash(q, k, v, q_lengths=q_lengths,
+                             kv_lengths=kv_lengths, causal=causal)
+        except (NotImplementedError, ImportError):
+            pass
+    return dot_product_attention(
+        q, k, v, bias, dropout_rng=dropout_rng,
+        dropout_rate=dropout_rate, deterministic=deterministic)

@@ -1,0 +1,234 @@
+"""Speech-Transformer decoder (reference: ``transformer/decoder.py``
+``Decoder.forward`` / ``recognize_beam`` — SURVEY.md §2.1; embed·√d + PE →
+N×{masked self-MHA, cross-MHA, FFN} → output projection → logits).
+
+Two execution modes, both static-shape:
+  * ``__call__``    — teacher-forced full-sequence (training / scoring).
+  * ``decode_step`` — single-token step with an explicit KV-cache pytree,
+    driven by ``lax.scan`` in decoding/{greedy,beam}.py. The reference
+    repo family re-runs the full prefix each step (no KV cache — SURVEY.md
+    §3.2); the cache drops per-step cost from O(L²) to O(L).
+
+Cache layout (per layer l):
+  self_k/self_v   : [B, max_len, H, D]   written at position ``index``
+  cross_k/cross_v : [B, S, H, D]         precomputed once from encoder memory
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import masks as mask_ops
+from .modules import (FeedForward, LayerNorm, MultiHeadAttention,
+                      PositionalEncoding, sinusoidal_position_encoding)
+
+Cache = Dict[str, jnp.ndarray]
+
+
+class DecoderLayer(nn.Module):
+    cfg: ModelConfig
+    dtype: jnp.dtype
+
+    def setup(self):
+        cfg = self.cfg
+        self.self_attn = MultiHeadAttention(
+            cfg.num_heads, cfg.d_model,
+            dropout_rate=cfg.attention_dropout_rate, dtype=self.dtype,
+            use_flash=cfg.use_flash_attention, name="self_attn")
+        self.cross_attn = MultiHeadAttention(
+            cfg.num_heads, cfg.d_model,
+            dropout_rate=cfg.attention_dropout_rate, dtype=self.dtype,
+            use_flash=cfg.use_flash_attention, name="cross_attn")
+        self.ffn = FeedForward(cfg.d_ff, cfg.d_model, cfg.dropout_rate, self.dtype)
+        self.ln1 = LayerNorm(self.dtype)
+        self.ln2 = LayerNorm(self.dtype)
+        self.ln3 = LayerNorm(self.dtype)
+        self.drop = nn.Dropout(cfg.dropout_rate)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,             # [B, U, d_model]
+        self_bias: jnp.ndarray,     # [B, 1, U, U] causal+pad
+        memory: jnp.ndarray,        # [B, S, d_model]
+        cross_bias: jnp.ndarray,    # [B, 1, U, S] memory pad
+        tgt_lens: jnp.ndarray,
+        mem_lens: jnp.ndarray,
+        deterministic: bool = True,  # static (remat static_argnums=(-1,))
+    ) -> jnp.ndarray:
+        det = deterministic
+        drop = lambda y: self.drop(y, deterministic=det)
+        if self.cfg.normalize_before:
+            h = self.ln1(x)
+            x = x + drop(self.self_attn(h, h, self_bias, deterministic=det,
+                                        causal=True, q_lengths=tgt_lens,
+                                        kv_lengths=tgt_lens))
+            h = self.ln2(x)
+            x = x + drop(self.cross_attn(h, memory, cross_bias, deterministic=det,
+                                         q_lengths=tgt_lens, kv_lengths=mem_lens))
+            h = self.ln3(x)
+            x = x + drop(self.ffn(h, deterministic=det))
+        else:
+            x = self.ln1(x + drop(self.self_attn(x, x, self_bias, deterministic=det,
+                                                 causal=True, q_lengths=tgt_lens,
+                                                 kv_lengths=tgt_lens)))
+            x = self.ln2(x + drop(self.cross_attn(x, memory, cross_bias,
+                                                  deterministic=det,
+                                                  q_lengths=tgt_lens,
+                                                  kv_lengths=mem_lens)))
+            x = self.ln3(x + drop(self.ffn(x, deterministic=det)))
+        return x
+
+    # ----- step decoding ---------------------------------------------------
+
+    def init_layer_cache(self, memory: jnp.ndarray, batch: int, max_len: int) -> Cache:
+        cfg = self.cfg
+        h, d = cfg.num_heads, cfg.d_model // cfg.num_heads
+        ck, cv = self.cross_attn.project_kv(memory)
+        zeros = jnp.zeros((batch, max_len, h, d), self.dtype)
+        return {"self_k": zeros, "self_v": jnp.zeros_like(zeros),
+                "cross_k": ck, "cross_v": cv}
+
+    def decode_step(
+        self,
+        x: jnp.ndarray,            # [B, 1, d_model] current position
+        cache: Cache,
+        index: jnp.ndarray,        # scalar int32 current position
+        cross_bias: jnp.ndarray,   # [B, 1, 1, S]
+    ) -> Tuple[jnp.ndarray, Cache]:
+        max_len = cache["self_k"].shape[1]
+
+        def self_attend(h):
+            k_new, v_new = self.self_attn.project_kv(h)          # [B,1,H,D]
+            self_k = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_k"], k_new.astype(cache["self_k"].dtype), index, axis=1)
+            self_v = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_v"], v_new.astype(cache["self_v"].dtype), index, axis=1)
+            # Mask future (unwritten) cache slots.
+            pos_ok = jnp.arange(max_len) <= index                 # [max_len]
+            bias = mask_ops.mask_to_bias(pos_ok)[None, None, None, :]
+            out = self.self_attn.attend(h, self_k, self_v, bias)
+            return out, self_k, self_v
+
+        def cross_attend(h):
+            return self.cross_attn.attend(
+                h, cache["cross_k"], cache["cross_v"], cross_bias)
+
+        if self.cfg.normalize_before:
+            h = self.ln1(x)
+            sa, self_k, self_v = self_attend(h)
+            x = x + sa
+            h = self.ln2(x)
+            x = x + cross_attend(h)
+            h = self.ln3(x)
+            x = x + self.ffn(h, deterministic=True)
+        else:
+            sa, self_k, self_v = self_attend(x)
+            x = self.ln1(x + sa)
+            x = self.ln2(x + cross_attend(x))
+            x = self.ln3(x + self.ffn(x, deterministic=True))
+        new_cache = dict(cache, self_k=self_k, self_v=self_v)
+        return x, new_cache
+
+
+class Decoder(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.compute_dtype = jnp.dtype(cfg.dtype)
+        self.embed = nn.Embed(cfg.vocab_size, cfg.d_model,
+                              dtype=self.compute_dtype, name="embed")
+        self.pos_enc = PositionalEncoding(
+            cfg.d_model, cfg.max_target_positions, cfg.dropout_rate,
+            dtype=self.compute_dtype, name="pos_enc")
+        layer_cls = DecoderLayer
+        if cfg.remat:
+            layer_cls = nn.remat(DecoderLayer, static_argnums=(-1,),
+                                 methods=["__call__"])
+        self.layers = [
+            layer_cls(cfg, self.compute_dtype, name=f"layer_{i}")
+            for i in range(cfg.num_decoder_layers)
+        ]
+        self.final_norm = LayerNorm(self.compute_dtype, name="final_norm")
+        if not cfg.share_embedding:
+            self.out_proj = nn.Dense(cfg.vocab_size, use_bias=False,
+                                     dtype=self.compute_dtype, name="out_proj")
+
+    def _logits(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.cfg.share_embedding:
+            emb = self.embed.embedding.astype(self.compute_dtype)  # [V, d]
+            return jnp.einsum("bud,vd->buv", x, emb,
+                              preferred_element_type=jnp.float32)
+        return self.out_proj(x).astype(jnp.float32)
+
+    def _embed_scaled(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        return self.embed(tokens) * jnp.asarray(
+            self.cfg.d_model ** 0.5, self.compute_dtype)
+
+    def __call__(
+        self,
+        targets_in: jnp.ndarray,   # [B, U] <sos>-prefixed token ids
+        tgt_lens: jnp.ndarray,     # [B]
+        memory: jnp.ndarray,       # [B, S, d_model]
+        mem_lens: jnp.ndarray,     # [B]
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Teacher-forced decode; returns logits [B, U, V] (f32)."""
+        u = targets_in.shape[1]
+        s = memory.shape[1]
+        x = self._embed_scaled(targets_in)
+        x = self.pos_enc(x, deterministic=deterministic)
+
+        self_bias = mask_ops.mask_to_bias(
+            mask_ops.self_attention_mask(tgt_lens, u, causal=True))
+        cross_bias = mask_ops.mask_to_bias(
+            mask_ops.padding_attention_mask(u, mem_lens, s))
+
+        mem = memory.astype(self.compute_dtype)
+        for layer in self.layers:
+            x = layer(x, self_bias, mem, cross_bias, tgt_lens, mem_lens,
+                      deterministic)
+        x = self.final_norm(x)
+        return self._logits(x)
+
+    # ----- step decoding ---------------------------------------------------
+
+    def init_cache(self, memory: jnp.ndarray, max_len: int) -> Cache:
+        """Build the KV-cache pytree (cross K/V precomputed once)."""
+        b = memory.shape[0]
+        mem = memory.astype(self.compute_dtype)
+        cache: Cache = {}
+        for i, layer in enumerate(self.layers):
+            cache[f"layer_{i}"] = layer.init_layer_cache(mem, b, max_len)
+        return cache
+
+    def decode_step(
+        self,
+        tokens: jnp.ndarray,       # [B] current input token ids
+        index: jnp.ndarray,        # scalar int32 position
+        cache: Cache,
+        mem_lens: jnp.ndarray,     # [B]
+    ) -> Tuple[jnp.ndarray, Cache]:
+        """One AR step. Returns (logits [B, V] f32, updated cache)."""
+        s = cache["layer_0"]["cross_k"].shape[1]
+        x = self._embed_scaled(tokens[:, None])                 # [B,1,d]
+        pe = jnp.asarray(sinusoidal_position_encoding(
+            self.cfg.max_target_positions, self.cfg.d_model))
+        x = x + jax.lax.dynamic_slice_in_dim(pe, index, 1, axis=0)[None].astype(
+            self.compute_dtype)
+
+        cross_bias = mask_ops.mask_to_bias(
+            mask_ops.padding_attention_mask(1, mem_lens, s))
+
+        new_cache: Cache = {}
+        for i, layer in enumerate(self.layers):
+            x, new_cache[f"layer_{i}"] = layer.decode_step(
+                x, cache[f"layer_{i}"], index, cross_bias)
+        x = self.final_norm(x)
+        return self._logits(x)[:, 0, :], new_cache

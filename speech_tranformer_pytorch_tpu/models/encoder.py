@@ -1,0 +1,98 @@
+"""Speech-Transformer encoder (reference: ``transformer/encoder.py``
+``Encoder.forward`` — SURVEY.md §2.1; subsample → PE → N×{MHA+FFN with
+residual+LayerNorm+dropout}).
+
+Pre-LN by default (repo-family convention, stabler under Noam warmup);
+``normalize_before=False`` gives the paper's post-LN. Optional
+``jax.checkpoint`` rematerialisation per block trades FLOPs for HBM on the
+Large/Sharded presets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import masks as mask_ops
+from .modules import (Conv2dSubsampling, FeedForward, LayerNorm,
+                      MultiHeadAttention, PositionalEncoding,
+                      subsampled_lengths)
+
+
+class EncoderLayer(nn.Module):
+    cfg: ModelConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        bias: jnp.ndarray,
+        lengths: jnp.ndarray,
+        deterministic: bool = True,  # static (remat static_argnums=(-1,))
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        drop = lambda y: nn.Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
+
+        attn = MultiHeadAttention(
+            cfg.num_heads, cfg.d_model,
+            dropout_rate=cfg.attention_dropout_rate, dtype=self.dtype,
+            use_flash=cfg.use_flash_attention, name="self_attn")
+        ffn = FeedForward(cfg.d_ff, cfg.d_model, cfg.dropout_rate, self.dtype)
+        ln1, ln2 = LayerNorm(self.dtype), LayerNorm(self.dtype)
+
+        if getattr(cfg, "normalize_before", True):
+            h = ln1(x)
+            x = x + drop(attn(h, h, bias, deterministic=deterministic,
+                              q_lengths=lengths, kv_lengths=lengths))
+            h = ln2(x)
+            x = x + drop(ffn(h, deterministic=deterministic))
+        else:
+            h = attn(x, x, bias, deterministic=deterministic,
+                     q_lengths=lengths, kv_lengths=lengths)
+            x = ln1(x + drop(h))
+            x = ln2(x + drop(ffn(x, deterministic=deterministic)))
+        return x
+
+
+class Encoder(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,        # [B, T, F]
+        frame_lens: jnp.ndarray,   # [B]
+        *,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (memory [B, T', d_model], memory_lens [B])."""
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+
+        x = Conv2dSubsampling(cfg.d_model, cfg.subsample_channels,
+                              dtype=dtype, name="subsample")(feats)
+        out_lens = subsampled_lengths(frame_lens)
+        x = PositionalEncoding(cfg.d_model, cfg.max_source_positions,
+                               cfg.dropout_rate, dtype=dtype,
+                               name="pos_enc")(x, deterministic=deterministic)
+
+        t = x.shape[1]
+        bias = mask_ops.mask_to_bias(
+            mask_ops.self_attention_mask(out_lens, t), jnp.float32)
+
+        layer_cls = EncoderLayer
+        if cfg.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(-1,))
+        for i in range(cfg.num_encoder_layers):
+            x = layer_cls(cfg, dtype, name=f"layer_{i}")(
+                x, bias, out_lens, deterministic)
+
+        x = LayerNorm(dtype, name="final_norm")(x)
+        # Zero padded positions so downstream cross-attention stats are clean.
+        valid = mask_ops.length_mask(out_lens, t)[..., None]
+        return x * valid.astype(x.dtype), out_lens

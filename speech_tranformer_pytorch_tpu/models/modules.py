@@ -1,0 +1,203 @@
+"""Core model modules (flax).
+
+Reference parity (SURVEY.md §2.1, source unreadable this session — semantics
+per the Speech-Transformer paper and the repo family):
+  * ``Conv2dSubsampling``  — 2×(Conv2d 3×3 stride 2 + ReLU) over (time,freq),
+    4× time reduction, linear proj to d_model (ref ``transformer/module.py``).
+  * ``PositionalEncoding`` — fixed sinusoidal PE + dropout.
+  * ``MultiHeadAttention`` — ref wraps ``torch.nn.MultiheadAttention``; here
+    a from-scratch einsum attention with an additive bias, routed through the
+    Pallas flash-attention kernel when enabled.
+  * ``FeedForward``        — Linear→ReLU→dropout→Linear.
+
+TPU-first notes: activations run in bf16 (params f32), softmax/layernorm in
+f32; all masks arrive as additive biases so XLA fuses them into the softmax;
+shapes are static under jit.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sinusoidal_position_encoding(max_len: int, d_model: int) -> np.ndarray:
+    """[max_len, d_model] fixed sinusoidal table (Vaswani et al., 2017)."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float64)
+                      * -(math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term[: (d_model + 1) // 2])
+    return pe.astype(np.float32)
+
+
+class PositionalEncoding(nn.Module):
+    d_model: int
+    max_len: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool, offset: int = 0) -> jnp.ndarray:
+        seq_len = x.shape[-2]
+        pe = jnp.asarray(sinusoidal_position_encoding(self.max_len, self.d_model))
+        x = x + pe[offset:offset + seq_len].astype(self.dtype)
+        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+
+
+def conv_output_length(length: jnp.ndarray, kernel: int = 3, stride: int = 2) -> jnp.ndarray:
+    """VALID-conv output length: (L - kernel)//stride + 1, floored at 0."""
+    return jnp.maximum((length - kernel) // stride + 1, 0)
+
+
+def subsampled_lengths(frame_lens: jnp.ndarray) -> jnp.ndarray:
+    """Length transform of the 2-layer 3×3/s2 subsampler."""
+    return conv_output_length(conv_output_length(frame_lens))
+
+
+class Conv2dSubsampling(nn.Module):
+    """[B,T,F] fbank -> [B,T//4,d_model] with recomputed lengths."""
+
+    d_model: int
+    channels: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
+        x = feats.astype(self.dtype)[..., None]                # [B,T,F,1] NHWC
+        for _ in range(2):
+            x = nn.Conv(self.channels, (3, 3), strides=(2, 2),
+                        padding="VALID", dtype=self.dtype)(x)
+            x = nn.relu(x)
+        b, t, f, c = x.shape
+        x = x.reshape(b, t, f * c)
+        return nn.Dense(self.d_model, dtype=self.dtype)(x)     # [B,T',d_model]
+
+
+def dot_product_attention(
+    q: jnp.ndarray,               # [B, T, H, D]
+    k: jnp.ndarray,               # [B, S, H, D]
+    v: jnp.ndarray,               # [B, S, H, D]
+    bias: Optional[jnp.ndarray],  # broadcastable to [B, H, T, S]
+    *,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """jnp reference attention; softmax in f32 regardless of input dtype."""
+    depth = q.shape[-1]
+    scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(depth)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    weights = jax.nn.softmax(scores, axis=-1)
+    if not deterministic and dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = weights * keep / (1.0 - dropout_rate)
+    weights = weights.astype(v.dtype)
+    return jnp.einsum("bhts,bshd->bthd", weights, v)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self/cross MHA with separate q/kv inputs and additive bias mask."""
+
+    num_heads: int
+    d_model: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+
+    def setup(self):
+        h, d = self.num_heads, self.d_model
+        self.head_dim = d // h
+        dense = lambda name: nn.DenseGeneral(
+            (h, self.head_dim), axis=-1, dtype=self.dtype, name=name)
+        self.q_proj = dense("q")
+        self.k_proj = dense("k")
+        self.v_proj = dense("v")
+        self.out_proj = nn.DenseGeneral(
+            d, axis=(-2, -1), dtype=self.dtype, name="out")
+
+    def project_kv(self, kv_in: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.k_proj(kv_in), self.v_proj(kv_in)
+
+    def attend(
+        self,
+        q_in: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        bias: Optional[jnp.ndarray],
+        *,
+        deterministic: bool = True,
+        causal: bool = False,
+        q_lengths: Optional[jnp.ndarray] = None,
+        kv_lengths: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        q = self.q_proj(q_in)
+        rng = None
+        if not deterministic and self.dropout_rate > 0.0:
+            rng = self.make_rng("dropout")
+        if self.use_flash and deterministic is not None:
+            from ..kernels.interface import flash_attention
+            out = flash_attention(
+                q, k, v, bias=bias, causal=causal,
+                q_lengths=q_lengths, kv_lengths=kv_lengths,
+                dropout_rng=rng, dropout_rate=self.dropout_rate,
+                deterministic=deterministic,
+            )
+        else:
+            out = dot_product_attention(
+                q, k, v, bias,
+                dropout_rng=rng, dropout_rate=self.dropout_rate,
+                deterministic=deterministic,
+            )
+        return self.out_proj(out)
+
+    def __call__(
+        self,
+        q_in: jnp.ndarray,
+        kv_in: jnp.ndarray,
+        bias: Optional[jnp.ndarray],
+        *,
+        deterministic: bool = True,
+        causal: bool = False,
+        q_lengths: Optional[jnp.ndarray] = None,
+        kv_lengths: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        k, v = self.project_kv(kv_in)
+        return self.attend(
+            q_in, k, v, bias, deterministic=deterministic, causal=causal,
+            q_lengths=q_lengths, kv_lengths=kv_lengths,
+        )
+
+
+class FeedForward(nn.Module):
+    d_ff: int
+    d_model: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool) -> jnp.ndarray:
+        x = nn.Dense(self.d_ff, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return nn.Dense(self.d_model, dtype=self.dtype)(x)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in f32, output cast back to compute dtype."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32))
+        return y.astype(self.dtype)

@@ -1,0 +1,103 @@
+"""CER/WER scoring via edit distance (reference: ``cal_cer`` /
+``editdistance`` usage in the eval script — SURVEY.md §2.1 "CER scoring").
+
+The O(N·M) Levenshtein inner loop is host-side scoring code, so it gets a
+native C++ implementation (``native/editdistance.cc`` loaded via ctypes —
+the reference leans on the ``editdistance`` C extension wheel); a pure-Python
+fallback keeps the package dependency-free.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Dict, List, Sequence, Tuple
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _load_native():
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    so = os.path.join(os.path.dirname(__file__), "..", "native", "libeditdistance.so")
+    so = os.path.abspath(so)
+    if os.path.exists(so):
+        try:
+            lib = ctypes.CDLL(so)
+            lib.edit_distance_i32.restype = ctypes.c_int64
+            lib.edit_distance_i32.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ]
+            _LIB = lib
+        except OSError:
+            _LIB = None
+    return _LIB
+
+
+def _edit_distance_py(ref: Sequence[int], hyp: Sequence[int]) -> int:
+    n, m = len(ref), len(hyp)
+    if n == 0:
+        return m
+    if m == 0:
+        return n
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        ri = ref[i - 1]
+        for j in range(1, m + 1):
+            cost = 0 if ri == hyp[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[m]
+
+
+def edit_distance(ref: Sequence[int], hyp: Sequence[int]) -> int:
+    """Levenshtein distance between two token-id sequences."""
+    lib = _load_native()
+    if lib is not None:
+        a = (ctypes.c_int32 * len(ref))(*[int(x) for x in ref])
+        b = (ctypes.c_int32 * len(hyp))(*[int(x) for x in hyp])
+        return int(lib.edit_distance_i32(a, len(ref), b, len(hyp)))
+    return _edit_distance_py(list(ref), list(hyp))
+
+
+def cer(refs: List[Sequence[int]], hyps: List[Sequence[int]]) -> Dict[str, float]:
+    """Character error rate over a corpus of token-id sequences.
+
+    Returns dict with ``cer`` (%), total ``errors`` and ``ref_tokens``.
+    """
+    if len(refs) != len(hyps):
+        raise ValueError(f"refs ({len(refs)}) and hyps ({len(hyps)}) differ in count")
+    errors = 0
+    total = 0
+    for r, h in zip(refs, hyps):
+        errors += edit_distance(r, h)
+        total += len(r)
+    return {
+        "cer": 100.0 * errors / max(total, 1),
+        "errors": float(errors),
+        "ref_tokens": float(total),
+    }
+
+
+def wer(ref_words: List[Sequence[str]], hyp_words: List[Sequence[str]]) -> Dict[str, float]:
+    """Word error rate; words are hashed to ids then scored like CER."""
+    refs_ids, hyps_ids = [], []
+    for r, h in zip(ref_words, hyp_words):
+        vocab: Dict[str, int] = {}
+        def ids(ws):
+            out = []
+            for w in ws:
+                if w not in vocab:
+                    vocab[w] = len(vocab)
+                out.append(vocab[w])
+            return out
+        refs_ids.append(ids(list(r)))
+        hyps_ids.append(ids(list(h)))
+    out = cer(refs_ids, hyps_ids)
+    out["wer"] = out.pop("cer")
+    return out

@@ -1,0 +1,106 @@
+"""Golden tests for the fbank frontend vs independent numpy/scipy
+implementations (SURVEY.md §4 "Unit")."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import scipy.signal
+
+from speech_tranformer_pytorch_tpu.config import FeatureConfig
+from speech_tranformer_pytorch_tpu.data import features as F
+
+
+def _numpy_fbank(wave: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
+    """Independent numpy re-implementation (the golden)."""
+    fl, fs = cfg.frame_length, cfg.frame_shift
+    n = F.num_frames(len(wave), fl, fs)
+    frames = np.stack([wave[i * fs:i * fs + fl] for i in range(n)]).astype(np.float64)
+    frames -= frames.mean(axis=1, keepdims=True)
+    if cfg.preemphasis > 0:
+        shifted = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+        frames = frames - cfg.preemphasis * shifted
+    frames *= F.make_window(cfg.window, fl)
+    spec = np.fft.rfft(frames, n=cfg.fft_length, axis=1)
+    power = np.abs(spec) ** 2
+    mel = power @ F.make_mel_matrix(cfg.num_mel_bins, cfg.fft_length,
+                                    cfg.sample_rate, cfg.low_freq, cfg.high_freq)
+    return np.log(np.maximum(mel, F._LOG_EPS))
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return FeatureConfig(cmvn=False)
+
+
+def test_num_frames():
+    assert F.num_frames(400, 400, 160) == 1
+    assert F.num_frames(399, 400, 160) == 0
+    assert F.num_frames(560, 400, 160) == 2
+    assert F.num_frames(16000, 400, 160) == 98
+
+
+def test_frame_lengths_vectorized(cfg):
+    lens = jnp.array([400, 399, 560, 16000, 0])
+    out = F.frame_lengths_from_sample_lengths(lens, 400, 160)
+    assert out.tolist() == [1, 0, 2, 98, 0]
+
+
+def test_mel_matrix_shape_and_partition(cfg):
+    m = F.make_mel_matrix(80, 512, 16000)
+    assert m.shape == (257, 80)
+    assert (m >= 0).all()
+    # Triangles overlap to near-unity response in the passband interior.
+    rowsum = m.sum(axis=1)
+    assert rowsum[30:200].min() > 0.5
+
+
+def test_fbank_matches_numpy_golden(cfg, rng):
+    wave = rng.standard_normal(16000).astype(np.float32) * 0.1
+    got = np.asarray(F.log_mel_spectrogram(jnp.asarray(wave), cfg))
+    want = _numpy_fbank(wave, cfg)
+    assert got.shape == want.shape == (98, 80)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_fbank_sine_peak_bin(cfg):
+    """A pure tone's energy must land in the mel bin containing its freq."""
+    sr, f0 = 16000, 1000.0
+    t = np.arange(sr) / sr
+    wave = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    feats = np.asarray(F.log_mel_spectrogram(jnp.asarray(wave), cfg))
+    mean_spec = feats.mean(axis=0)
+    peak_bin = int(mean_spec.argmax())
+    # mel bin centers
+    centers = F.mel_to_hz(np.linspace(F.hz_to_mel(cfg.low_freq),
+                                      F.hz_to_mel(8000.0), cfg.num_mel_bins + 2))[1:-1]
+    assert abs(centers[peak_bin] - f0) < 150.0
+
+
+def test_batched_equals_single(cfg, rng):
+    waves = rng.standard_normal((3, 8000)).astype(np.float32)
+    batched = np.asarray(F.log_mel_spectrogram(jnp.asarray(waves), cfg))
+    for i in range(3):
+        single = np.asarray(F.log_mel_spectrogram(jnp.asarray(waves[i]), cfg))
+        np.testing.assert_allclose(batched[i], single, rtol=1e-5, atol=1e-5)
+
+
+def test_cmvn_zero_mean_unit_var(rng):
+    feats = jnp.asarray(rng.standard_normal((2, 50, 8)).astype(np.float32) * 3 + 5)
+    lens = jnp.array([50, 30])
+    out = np.asarray(F.apply_cmvn(feats, lens))
+    # valid region of utt 1
+    v = out[1, :30]
+    np.testing.assert_allclose(v.mean(axis=0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(v.var(axis=0), 1.0, atol=1e-3)
+    # padded region zeroed
+    assert np.abs(out[1, 30:]).max() == 0.0
+
+
+def test_extract_features_end_to_end(rng):
+    cfg = FeatureConfig()
+    waves = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32))
+    slens = jnp.array([16000, 8000])
+    feats, flens = F.extract_features(waves, slens, cfg)
+    assert feats.shape == (2, 98, 80)
+    assert flens.tolist() == [98, 48]
+    assert np.isfinite(np.asarray(feats)).all()

@@ -1,0 +1,128 @@
+"""Model tests: subsampling shapes/lengths, encoder padding invariance,
+decoder causality, teacher-forced vs KV-cached step-decode equivalence
+(SURVEY.md §4 "Unit"/"Integration")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_tranformer_pytorch_tpu.config import tiny_config
+from speech_tranformer_pytorch_tpu.models import (SpeechTransformer,
+                                                  subsampled_lengths)
+from speech_tranformer_pytorch_tpu.models.modules import (
+    dot_product_attention, sinusoidal_position_encoding)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config().model
+    model = SpeechTransformer(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, T, F, U = 2, 64, 80, 10
+    feats = jax.random.normal(rng, (B, T, F))
+    flens = jnp.array([64, 50])
+    tgt = jax.random.randint(jax.random.PRNGKey(1), (B, U), 1, cfg.vocab_size)
+    tlens = jnp.array([10, 7])
+    params = model.init({"params": rng}, feats, flens, tgt, tlens)
+    return cfg, model, params, feats, flens, tgt, tlens
+
+
+class TestModules:
+    def test_sinusoidal_pe(self):
+        pe = sinusoidal_position_encoding(16, 8)
+        assert pe.shape == (16, 8)
+        np.testing.assert_allclose(pe[0], [0, 1] * 4, atol=1e-7)
+        # position 1, dim 0: sin(1)
+        np.testing.assert_allclose(pe[1, 0], np.sin(1.0), rtol=1e-6)
+
+    def test_subsampled_lengths(self):
+        lens = jnp.array([64, 50, 7, 3, 2])
+        out = subsampled_lengths(lens)
+        # conv k=3 s=2 VALID twice: 64->31->15, 50->24->11, 7->3->1, 3->1->0, 2->0->0
+        assert out.tolist() == [15, 11, 1, 0, 0]
+
+    def test_attention_matches_manual(self, rng):
+        B, T, S, H, D = 2, 4, 6, 2, 8
+        q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+        out = dot_product_attention(q, k, v, None)
+        # manual per-head
+        for b in range(B):
+            for h in range(H):
+                scores = np.asarray(q)[b, :, h] @ np.asarray(k)[b, :, h].T / np.sqrt(D)
+                w = np.exp(scores - scores.max(-1, keepdims=True))
+                w /= w.sum(-1, keepdims=True)
+                want = w @ np.asarray(v)[b, :, h]
+                np.testing.assert_allclose(np.asarray(out)[b, :, h], want, rtol=1e-4, atol=1e-5)
+
+
+class TestForward:
+    def test_shapes(self, setup):
+        cfg, model, params, feats, flens, tgt, tlens = setup
+        logits = model.apply(params, feats, flens, tgt, tlens)
+        assert logits.shape == (2, 10, cfg.vocab_size)
+        assert logits.dtype == jnp.float32
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_encoder_padding_invariance(self, setup):
+        """Changing audio content in padded frames must not change valid logits."""
+        cfg, model, params, feats, flens, tgt, tlens = setup
+        noisy = feats.at[1, 50:].set(99.0)  # utt 1 has only 50 valid frames
+        a = model.apply(params, feats, flens, tgt, tlens)
+        b = model.apply(params, noisy, flens, tgt, tlens)
+        np.testing.assert_allclose(np.asarray(a[1, :7]), np.asarray(b[1, :7]),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_decoder_causality(self, setup):
+        """Changing target token at position j must not affect logits at i<j."""
+        cfg, model, params, feats, flens, tgt, tlens = setup
+        tgt2 = tgt.at[0, 5].set((tgt[0, 5] + 1) % cfg.vocab_size)
+        a = model.apply(params, feats, flens, tgt, tlens)
+        b = model.apply(params, feats, flens, tgt2, tlens)
+        np.testing.assert_allclose(np.asarray(a[0, :5]), np.asarray(b[0, :5]),
+                                   rtol=1e-4, atol=1e-4)
+        assert np.abs(np.asarray(a[0, 5:]) - np.asarray(b[0, 5:])).max() > 1e-4
+
+    def test_dropout_changes_output(self, setup):
+        cfg, model, params, feats, flens, tgt, tlens = setup
+        a = model.apply(params, feats, flens, tgt, tlens, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+        b = model.apply(params, feats, flens, tgt, tlens, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+
+class TestStepDecode:
+    def test_step_matches_teacher_forced(self, setup):
+        """KV-cached step decode must reproduce full-sequence logits."""
+        cfg, model, params, feats, flens, tgt, tlens = setup
+        full = model.apply(params, feats, flens, tgt, tlens)   # [B,U,V]
+
+        memory, mem_lens = model.apply(params, feats, flens,
+                                       method=SpeechTransformer.encode)
+        U = tgt.shape[1]
+        cache = model.apply(params, memory, U,
+                            method=SpeechTransformer.init_cache)
+        step_logits = []
+        for i in range(U):
+            lg, cache = model.apply(params, tgt[:, i], jnp.int32(i), cache,
+                                    mem_lens, method=SpeechTransformer.decode_step)
+            step_logits.append(np.asarray(lg))
+        stepped = np.stack(step_logits, axis=1)
+        # Compare only valid target positions: teacher-forced masks padded
+        # query rows (excluded from loss), step decode does not distinguish.
+        for b in range(2):
+            n = int(tlens[b])
+            np.testing.assert_allclose(stepped[b, :n], np.asarray(full)[b, :n],
+                                       rtol=2e-3, atol=2e-3)
+
+    def test_encode_matches_forward_memory(self, setup):
+        cfg, model, params, feats, flens, tgt, tlens = setup
+        memory, mem_lens = model.apply(params, feats, flens,
+                                       method=SpeechTransformer.encode)
+        assert memory.shape == (2, 15, cfg.d_model)
+        assert mem_lens.tolist() == [15, 11]
+        # padded memory rows are zeroed
+        assert np.abs(np.asarray(memory)[1, 11:]).max() == 0.0

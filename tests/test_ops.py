@@ -1,0 +1,135 @@
+"""Unit tests: masks, label-smoothed CE, Noam schedule, CER metrics
+(SURVEY.md §4 "Unit")."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_tranformer_pytorch_tpu.ops import losses, masks, metrics, schedules
+
+
+class TestMasks:
+    def test_length_mask(self):
+        m = masks.length_mask(jnp.array([3, 0, 5]), 5)
+        want = np.array([[1, 1, 1, 0, 0], [0, 0, 0, 0, 0], [1, 1, 1, 1, 1]], bool)
+        np.testing.assert_array_equal(np.asarray(m), want)
+
+    def test_causal_mask(self):
+        m = np.asarray(masks.causal_mask(4))
+        assert m.tolist() == np.tril(np.ones((4, 4), bool)).tolist()
+
+    def test_self_attention_mask_causal_pad(self):
+        m = np.asarray(masks.self_attention_mask(jnp.array([2]), 3, causal=True))[0, 0]
+        want = np.array([[1, 0, 0], [1, 1, 0], [0, 0, 0]], bool)
+        np.testing.assert_array_equal(m, want)
+
+    def test_bias_values(self):
+        b = np.asarray(masks.mask_to_bias(jnp.array([True, False])))
+        assert b[0] == 0.0 and b[1] <= -1e8
+
+    def test_padding_attention_mask(self):
+        m = np.asarray(masks.padding_attention_mask(2, jnp.array([1]), 3))
+        assert m.shape == (1, 1, 2, 3)
+        np.testing.assert_array_equal(m[0, 0], [[1, 0, 0], [1, 0, 0]])
+
+
+class TestLabelSmoothedCE:
+    def _golden(self, logits, targets, eps, pad_id):
+        """Direct formula with explicit smoothed distribution."""
+        B, U, V = logits.shape
+        lp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+        lp = np.asarray(lp, np.float64)
+        total, count = 0.0, 0
+        for b in range(B):
+            for u in range(U):
+                y = targets[b, u]
+                if y == pad_id:
+                    continue
+                dist = np.full(V, eps / (V - 1))
+                dist[y] = 1.0 - eps
+                total += -(dist * lp[b, u]).sum()
+                count += 1
+        return total / max(count, 1)
+
+    def test_matches_golden(self, rng):
+        B, U, V = 2, 5, 11
+        logits = rng.standard_normal((B, U, V)).astype(np.float32)
+        targets = rng.integers(0, V, (B, U)).astype(np.int32)
+        targets[0, 3:] = 0  # pad tail
+        loss, count = losses.label_smoothed_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(targets), smoothing=0.1)
+        want = self._golden(logits, targets, 0.1, 0)
+        assert float(count) == (targets != 0).sum()
+        np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+
+    def test_zero_smoothing_is_ce(self, rng):
+        B, U, V = 2, 4, 7
+        logits = rng.standard_normal((B, U, V)).astype(np.float32)
+        targets = rng.integers(1, V, (B, U)).astype(np.int32)
+        loss, _ = losses.label_smoothed_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(targets), smoothing=0.0)
+        lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+        want = -np.mean([lp[b, u, targets[b, u]] for b in range(B) for u in range(U)])
+        np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+
+    def test_perfect_prediction_low_loss(self):
+        V = 5
+        targets = jnp.array([[1, 2, 3]])
+        logits = jax.nn.one_hot(targets, V) * 100.0
+        loss, _ = losses.label_smoothed_cross_entropy(logits, targets, smoothing=0.0)
+        assert float(loss) < 1e-3
+
+    def test_token_accuracy(self):
+        logits = jax.nn.one_hot(jnp.array([[1, 2, 4]]), 5) * 10.0
+        acc = losses.token_accuracy(logits, jnp.array([[1, 2, 3]]))
+        np.testing.assert_allclose(float(acc), 2.0 / 3.0, rtol=1e-6)
+
+
+class TestNoam:
+    def test_known_values(self):
+        d, w = 512, 4000
+        sched = schedules.noam_schedule(d, w)
+        for step in [1, 100, 4000, 16000]:
+            want = d ** -0.5 * min(step ** -0.5, step * w ** -1.5)
+            np.testing.assert_allclose(float(sched(jnp.int32(step))), want, rtol=1e-6)
+
+    def test_peak_at_warmup(self):
+        sched = schedules.noam_schedule(256, 1000)
+        vals = [float(sched(jnp.int32(s))) for s in [500, 1000, 2000]]
+        assert vals[1] >= vals[0] and vals[1] >= vals[2]
+
+    def test_optimizer_updates(self):
+        opt = schedules.make_optimizer(64, 100)
+        params = {"w": jnp.ones((3,))}
+        state = opt.init(params)
+        grads = {"w": jnp.full((3,), 2.0)}
+        updates, state = opt.update(grads, state, params)
+        assert np.asarray(updates["w"]).shape == (3,)
+        assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+class TestMetrics:
+    def test_edit_distance_basic(self):
+        assert metrics.edit_distance([1, 2, 3], [1, 2, 3]) == 0
+        assert metrics.edit_distance([1, 2, 3], [1, 3]) == 1
+        assert metrics.edit_distance([], [1, 2]) == 2
+        assert metrics.edit_distance([1, 2], []) == 2
+        assert metrics.edit_distance([1, 2, 3], [4, 5, 6]) == 3
+        assert metrics.edit_distance([1, 2, 3, 4], [2, 3, 4, 5]) == 2
+
+    def test_python_vs_native_agree(self, rng):
+        for _ in range(20):
+            a = rng.integers(0, 10, rng.integers(0, 30)).tolist()
+            b = rng.integers(0, 10, rng.integers(0, 30)).tolist()
+            assert metrics.edit_distance(a, b) == metrics._edit_distance_py(a, b)
+
+    def test_cer(self):
+        out = metrics.cer([[1, 2, 3, 4]], [[1, 2, 3]])
+        np.testing.assert_allclose(out["cer"], 25.0)
+
+    def test_wer(self):
+        out = metrics.wer([["hello", "world"]], [["hello", "there"]])
+        np.testing.assert_allclose(out["wer"], 50.0)
