@@ -25,8 +25,14 @@ def _asdict(obj: Any) -> Any:
     return obj
 
 
+
+class _Replace:
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
 @dataclasses.dataclass(frozen=True)
-class FeatureConfig:
+class FeatureConfig(_Replace):
     """Log-mel filterbank front-end (reference: torchaudio/Kaldi fbank)."""
 
     sample_rate: int = 16000
@@ -54,7 +60,7 @@ class FeatureConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class SpecAugmentConfig:
+class SpecAugmentConfig(_Replace):
     """SpecAugment (Park et al., 2019) — Large/LibriSpeech presets."""
 
     enabled: bool = False
@@ -66,7 +72,7 @@ class SpecAugmentConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class ModelConfig:
+class ModelConfig(_Replace):
     """Encoder-decoder Transformer dims (paper Table 1 / SURVEY.md L2-L3)."""
 
     vocab_size: int = 4336         # AISHELL-1 chars + specials (rebuilt from data)
@@ -93,7 +99,7 @@ class ModelConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class TrainConfig:
+class TrainConfig(_Replace):
     """Noam/warmup Adam training (reference TransformerOptimizer)."""
 
     batch_size: int = 64               # global batch (utterances)
@@ -115,7 +121,7 @@ class TrainConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class DataConfig:
+class DataConfig(_Replace):
     train_manifest: str = ""
     dev_manifest: str = ""
     test_manifest: str = ""
@@ -130,7 +136,7 @@ class DataConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class DecodeConfig:
+class DecodeConfig(_Replace):
     beam_size: int = 5
     max_decode_len: int = 100
     length_penalty: float = 1.0        # GNMT-style ((5+len)/6)^alpha weighting
@@ -138,7 +144,7 @@ class DecodeConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class MeshConfig:
+class MeshConfig(_Replace):
     """Device mesh for DP/TP (reference: none — single GPU)."""
 
     data_axis: int = 0                 # 0 => all remaining devices

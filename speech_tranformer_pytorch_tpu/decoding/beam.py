@@ -1,0 +1,199 @@
+"""Batched beam-search decoding (reference: ``Decoder.recognize_beam`` —
+SURVEY.md §2.1 "Beam search" / §3.2: per-utterance Python loop, expand
+beam×vocab, sorted pruning to beam width, length penalty, finished pool).
+
+TPU-first redesign: the whole batch and all beams advance inside ONE
+``lax.scan``; state is a fixed-shape pytree ``[B, K, ...]``; pruning is
+``lax.top_k`` over the flattened ``K·V`` candidate scores; the KV cache is
+beam-gathered each step (only the self-attention keys/values — cross K/V
+are beam-invariant). The reference re-runs the full prefix each step with
+no KV cache; here each step is O(1) prefix work.
+
+Candidate selection follows the 2K-candidate scheme (select top-2K, route
+<eos> candidates to the finished pool, keep the best K non-eos as the alive
+set) so a step in which many beams finish cannot starve the alive set.
+
+Length penalty: GNMT ``lp(n) = ((5+n)/6)^alpha``; finished hypotheses are
+ranked by ``score / lp(len)`` ("length penalty at finalization", SURVEY.md
+§3.2). ``alpha=0`` disables it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import SpeechTransformer
+
+PAD, SOS, EOS = 0, 1, 2
+NEG_INF = -1.0e9
+
+
+def length_penalty(lengths: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    """GNMT length normalisation factor lp(n) = ((5+n)/6)^alpha."""
+    return jnp.power((5.0 + lengths.astype(jnp.float32)) / 6.0, alpha)
+
+
+def _tile_beam(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[B, ...] -> [B*K, ...] by repeating each row K times."""
+    return jnp.repeat(x, k, axis=0)
+
+
+def _gather_beams(x: jnp.ndarray, beam_idx: jnp.ndarray, b: int, k: int) -> jnp.ndarray:
+    """Reorder flattened-beam leading dim by beam_idx [B, K_out]."""
+    x = x.reshape((b, k) + x.shape[1:])
+    idx = beam_idx.reshape((b, -1) + (1,) * (x.ndim - 2))
+    out = jnp.take_along_axis(x, idx, axis=1)
+    return out.reshape((b * beam_idx.shape[1],) + x.shape[2:])
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamResult:
+    tokens: jnp.ndarray      # [B, K, L] token ids (eos-terminated, pad tail)
+    lengths: jnp.ndarray     # [B, K] lengths excluding eos
+    scores: jnp.ndarray      # [B, K] length-penalized log-probs, sorted desc
+
+
+jax.tree_util.register_pytree_node(
+    BeamResult,
+    lambda r: ((r.tokens, r.lengths, r.scores), None),
+    lambda _, xs: BeamResult(*xs),
+)
+
+
+def beam_search(
+    model: SpeechTransformer,
+    params,
+    memory: jnp.ndarray,        # [B, S, d_model]
+    mem_lens: jnp.ndarray,      # [B]
+    *,
+    beam_size: int,
+    max_len: int,
+    alpha: float = 1.0,
+    sos_id: int = SOS,
+    eos_id: int = EOS,
+    pad_id: int = PAD,
+) -> BeamResult:
+    b = memory.shape[0]
+    k = beam_size
+
+    memory_k = _tile_beam(memory, k)          # [B*K, S, D]
+    mem_lens_k = _tile_beam(mem_lens, k)      # [B*K]
+    cache = model.apply(params, memory_k, max_len,
+                        method=SpeechTransformer.init_cache)
+
+    # Alive state. Only beam 0 live at step 0 (all beams identical).
+    alive_scores = jnp.tile(
+        jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (b, 1))
+    alive_tokens = jnp.full((b, k, max_len), pad_id, jnp.int32)
+    cur_tokens = jnp.full((b, k), sos_id, jnp.int32)
+
+    fin_tokens = jnp.full((b, k, max_len), pad_id, jnp.int32)
+    fin_scores = jnp.full((b, k), NEG_INF, jnp.float32)
+    fin_lens = jnp.zeros((b, k), jnp.int32)
+
+    def step(carry, i):
+        (cur_tokens, alive_tokens, alive_scores,
+         fin_tokens, fin_scores, fin_lens, cache) = carry
+
+        logits, cache = model.apply(
+            params, cur_tokens.reshape(b * k), i, cache, mem_lens_k,
+            method=SpeechTransformer.decode_step)          # [B*K, V]
+        v = logits.shape[-1]
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        log_probs = log_probs.at[:, pad_id].set(NEG_INF)
+        log_probs = log_probs.at[:, sos_id].set(NEG_INF)
+        log_probs = log_probs.reshape(b, k, v)
+
+        cand = alive_scores[:, :, None] + log_probs        # [B, K, V]
+        flat = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * k)   # [B, 2K]
+        top_beam = top_idx // v
+        top_tok = (top_idx % v).astype(jnp.int32)
+
+        # Candidate token sequences [B, 2K, L].
+        seqs = jnp.take_along_axis(alive_tokens, top_beam[:, :, None], axis=1)
+        seqs = jax.vmap(
+            lambda s, t: s.at[:, i].set(t))(seqs, top_tok)  # write col i
+
+        is_eos = top_tok == eos_id
+
+        # ---- finished pool update: existing K + new 2K eos-candidates.
+        new_fin_lens = jnp.full((b, 2 * k), i, jnp.int32)   # length excl. eos
+        penalized = top_scores / length_penalty(new_fin_lens, alpha)
+        cand_fin_scores = jnp.where(is_eos, penalized, NEG_INF)
+        all_fin_scores = jnp.concatenate([fin_scores, cand_fin_scores], axis=1)
+        all_fin_tokens = jnp.concatenate([fin_tokens, seqs], axis=1)
+        all_fin_lens = jnp.concatenate([fin_lens, new_fin_lens], axis=1)
+        fin_scores_new, fin_sel = jax.lax.top_k(all_fin_scores, k)
+        fin_tokens_new = jnp.take_along_axis(
+            all_fin_tokens, fin_sel[:, :, None], axis=1)
+        fin_lens_new = jnp.take_along_axis(all_fin_lens, fin_sel, axis=1)
+
+        # ---- alive set: best K non-eos among the 2K.
+        alive_cand_scores = jnp.where(is_eos, NEG_INF, top_scores)
+        alive_scores_new, alive_sel = jax.lax.top_k(alive_cand_scores, k)
+        alive_tokens_new = jnp.take_along_axis(
+            seqs, alive_sel[:, :, None], axis=1)
+        cur_tokens_new = jnp.take_along_axis(
+            top_tok, alive_sel, axis=1)
+        src_beam = jnp.take_along_axis(top_beam, alive_sel, axis=1)  # [B, K]
+
+        # Beam-gather the self-attention cache (cross K/V beam-invariant).
+        def gather_layer(layer):
+            out = dict(layer)
+            out["self_k"] = _gather_beams(layer["self_k"], src_beam, b, k)
+            out["self_v"] = _gather_beams(layer["self_v"], src_beam, b, k)
+            return out
+        cache_new = {name: gather_layer(layer) for name, layer in cache.items()}
+
+        return (cur_tokens_new, alive_tokens_new, alive_scores_new,
+                fin_tokens_new, fin_scores_new, fin_lens_new, cache_new), None
+
+    init = (cur_tokens, alive_tokens, alive_scores,
+            fin_tokens, fin_scores, fin_lens, cache)
+    (cur_tokens, alive_tokens, alive_scores,
+     fin_tokens, fin_scores, fin_lens, _), _ = jax.lax.scan(
+        step, init, jnp.arange(max_len, dtype=jnp.int32))
+
+    # Merge still-alive beams (ran out of steps) into the pool, penalized at
+    # full length, so every utterance yields >= 1 hypothesis.
+    alive_pen = alive_scores / length_penalty(
+        jnp.full((b, k), max_len, jnp.int32), alpha)
+    all_scores = jnp.concatenate([fin_scores, alive_pen], axis=1)
+    all_tokens = jnp.concatenate([fin_tokens, alive_tokens], axis=1)
+    all_lens = jnp.concatenate(
+        [fin_lens, jnp.full((b, k), max_len, jnp.int32)], axis=1)
+    final_scores, sel = jax.lax.top_k(all_scores, k)
+    final_tokens = jnp.take_along_axis(all_tokens, sel[:, :, None], axis=1)
+    final_lens = jnp.take_along_axis(all_lens, sel, axis=1)
+    return BeamResult(tokens=final_tokens, lengths=final_lens,
+                      scores=final_scores)
+
+
+def beam_decode(
+    model: SpeechTransformer,
+    params,
+    feats: jnp.ndarray,
+    frame_lens: jnp.ndarray,
+    *,
+    beam_size: int,
+    max_len: int,
+    alpha: float = 1.0,
+) -> BeamResult:
+    """encode + beam search as one jittable program."""
+    memory, mem_lens = model.apply(params, feats, frame_lens,
+                                   method=SpeechTransformer.encode)
+    return beam_search(model, params, memory, mem_lens,
+                       beam_size=beam_size, max_len=max_len, alpha=alpha)
+
+
+def best_hypotheses(result: BeamResult):
+    """Top beam of each utterance -> python lists (host-side)."""
+    import numpy as np
+    t = np.asarray(result.tokens[:, 0])
+    l = np.asarray(result.lengths[:, 0])
+    return [t[i, :l[i]].tolist() for i in range(t.shape[0])]

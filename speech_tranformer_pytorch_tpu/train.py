@@ -1,0 +1,142 @@
+"""Training driver (reference: ``train.py`` + ``solver.py`` epoch loop with
+label-smoothed CE, grad clip, dev cross-validation, per-epoch checkpoints —
+SURVEY.md §2.1 "Trainer/solver" / §3.1).
+
+TPU-first: one jit'd ``train_step(state, batch, rng)`` with donated state;
+the epoch skeleton is identical to the reference's but every batch is a
+single XLA program. Sharding (DP/TP) is layered on by ``parallel/`` —
+the step function itself is mesh-agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from .config import ExperimentConfig
+from .models import SpeechTransformer
+from .ops.losses import label_smoothed_cross_entropy, token_accuracy
+from .ops.schedules import make_optimizer
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params: Any, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params))
+
+
+@dataclasses.dataclass(frozen=True)
+class Batch:
+    """One padded batch. ``targets_in`` is <sos>+y, ``targets_out`` is y+<eos>."""
+    feats: jnp.ndarray          # [B, T, F]
+    frame_lens: jnp.ndarray     # [B]
+    targets_in: jnp.ndarray     # [B, U]
+    targets_out: jnp.ndarray    # [B, U]
+    target_lens: jnp.ndarray    # [B] (length incl. the <eos>)
+
+
+jax.tree_util.register_pytree_node(
+    Batch,
+    lambda b: ((b.feats, b.frame_lens, b.targets_in, b.targets_out, b.target_lens), None),
+    lambda _, xs: Batch(*xs),
+)
+
+
+def build_model(cfg: ExperimentConfig) -> SpeechTransformer:
+    return SpeechTransformer(cfg.model)
+
+
+def init_params(cfg: ExperimentConfig, rng: jax.Array, example: Batch) -> Any:
+    model = build_model(cfg)
+    return model.init({"params": rng}, example.feats, example.frame_lens,
+                      example.targets_in, example.target_lens)
+
+
+def make_train_step(
+    cfg: ExperimentConfig,
+    tx: Optional[optax.GradientTransformation] = None,
+    *,
+    donate: bool = True,
+) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jit'd train step. Returns (new_state, metrics)."""
+    model = build_model(cfg)
+    if tx is None:
+        tx = make_tx(cfg)
+    smoothing = cfg.train.label_smoothing
+
+    def step(state: TrainState, batch: Batch, rng: jax.Array):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits = model.apply(
+                params, batch.feats, batch.frame_lens,
+                batch.targets_in, batch.target_lens,
+                deterministic=False, rngs={"dropout": dropout_rng})
+            loss, tokens = label_smoothed_cross_entropy(
+                logits, batch.targets_out, smoothing=smoothing)
+            acc = token_accuracy(logits, batch.targets_out)
+            return loss, (tokens, acc)
+
+        (loss, (tokens, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "tokens": tokens,
+            "accuracy": acc,
+            # audio seconds in this batch (frames * 10ms hop), for
+            # audio-seconds/s throughput accounting (BASELINE.json metric).
+            "audio_seconds": jnp.sum(batch.frame_lens).astype(jnp.float32)
+                             * (cfg.features.frame_shift_ms / 1000.0),
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(cfg: ExperimentConfig):
+    """Deterministic dev-loss step (reference: ``_run_one_epoch(train=False)``)."""
+    model = build_model(cfg)
+    smoothing = cfg.train.label_smoothing
+
+    @jax.jit
+    def step(params, batch: Batch):
+        logits = model.apply(params, batch.feats, batch.frame_lens,
+                             batch.targets_in, batch.target_lens)
+        loss, tokens = label_smoothed_cross_entropy(
+            logits, batch.targets_out, smoothing=smoothing)
+        acc = token_accuracy(logits, batch.targets_out)
+        return {"loss": loss, "tokens": tokens, "accuracy": acc}
+
+    return step
+
+
+def make_tx(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    t = cfg.train
+    return make_optimizer(
+        cfg.model.d_model, t.warmup_steps, scale=t.peak_lr_scale,
+        b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps,
+        grad_clip_norm=t.grad_clip_norm, weight_decay=t.weight_decay)
+
+
+def create_train_state(cfg: ExperimentConfig, rng: jax.Array, example: Batch) -> TrainState:
+    params = init_params(cfg, rng, example)
+    return TrainState.create(params, make_tx(cfg))
