@@ -1,0 +1,168 @@
+"""GSPMD sharding rules (reference: none — single-GPU; SURVEY.md §2.2).
+
+Parameter layout on the ('data', 'model') mesh for the TP/Sharded preset:
+
+  attention q/k/v DenseGeneral kernel  (d_model, H, Dh) -> P(None,'model',None)
+  attention out  DenseGeneral kernel  (H, Dh, d_model) -> P('model',None,None)
+  FFN first Dense kernel              (d_model, d_ff)  -> P(None,'model')
+  FFN second Dense kernel             (d_ff, d_model)  -> P('model',None)
+  decoder embedding                   (V, d_model)     -> P(None,'model')
+  conv / layernorm / biases / PE                       -> replicated
+
+i.e. head-sharded attention and column/row-split FFN — the classic
+Megatron decomposition, expressed purely as GSPMD annotations; XLA inserts
+the (reduce-)scatter/all-gather collectives over ICI. Optimizer state
+(adam mu/nu) mirrors the param specs. Batches shard batch-dim over 'data'.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Tuple
+
+import jax
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train import Batch, TrainState
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+# (path regex, spec builder). Paths look like
+# "params/encoder/layer_0/self_attn/q/kernel".
+_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*/(self_attn|cross_attn)/(q|k|v)/kernel$", P(None, MODEL_AXIS, None)),
+    (r".*/(self_attn|cross_attn)/out/kernel$", P(MODEL_AXIS, None, None)),
+    # FeedForward submodules are Dense_0 (in->hidden) and Dense_1 (hidden->out)
+    (r".*/FeedForward_\d+/Dense_0/kernel$", P(None, MODEL_AXIS)),
+    (r".*/FeedForward_\d+/Dense_1/kernel$", P(MODEL_AXIS, None)),
+    (r".*/ffn/Dense_0/kernel$", P(None, MODEL_AXIS)),
+    (r".*/ffn/Dense_1/kernel$", P(MODEL_AXIS, None)),
+    (r".*/embed/embedding$", P(None, MODEL_AXIS)),
+    (r".*/out_proj/kernel$", P(None, MODEL_AXIS)),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_spec(path_str: str, leaf) -> P:
+    for pattern, spec in _RULES:
+        if re.match(pattern, path_str):
+            # Guard: spec rank must match leaf rank (e.g. fused kernels).
+            if leaf.ndim == len(spec):
+                return spec
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """Pytree of NamedShardings matching ``params``."""
+    def fn(path, leaf):
+        return NamedSharding(mesh, param_spec(_path_str(path), leaf))
+    return jax.tree_util.tree_map_with_path(fn, params)
+
+
+def opt_state_shardings(mesh: Mesh, opt_state: Any, params: Any) -> Any:
+    """Adam mu/nu mirror the param specs; scalar counts are replicated."""
+    p_spec = {id_path: s for id_path, s in _flatten_with_path(param_shardings(mesh, params))}
+
+    def fn(path, leaf):
+        ps = _path_str(path)
+        # strip optax wrapper prefixes ("0/mu/...", "inner_state/...") down
+        # to the param-tree suffix and look it up.
+        for id_path, sharding in p_spec.items():
+            if ps.endswith(id_path):
+                if leaf.ndim == len(sharding.spec):
+                    return sharding
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map_with_path(fn, opt_state)
+
+
+def _flatten_with_path(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return [(_path_str(path), leaf) for path, leaf in flat]
+
+
+def state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
+    return TrainState(
+        step=NamedSharding(mesh, P()),
+        params=param_shardings(mesh, state.params),
+        opt_state=opt_state_shardings(mesh, state.opt_state, state.params),
+    )
+
+
+def batch_shardings(mesh: Mesh, batch: Batch) -> Batch:
+    ds = lambda ndim: NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    return Batch(
+        feats=ds(3), frame_lens=ds(1), targets_in=ds(2),
+        targets_out=ds(2), target_lens=ds(1),
+    )
+
+
+def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place an (unsharded) TrainState onto the mesh per the rules."""
+    sh = state_shardings(mesh, state)
+    return jax.tree.map(jax.device_put, state, sh)
+
+
+def make_sharded_train_step(cfg, mesh: Mesh, *, donate: bool = True):
+    """jit the train step with explicit in/out shardings over the mesh.
+
+    Gradient all-reduce over 'data' and TP collectives over 'model' are
+    inserted by GSPMD — no hand-written communication (SURVEY.md §5
+    "Distributed communication backend").
+    """
+    from ..train import make_tx
+
+    tx = make_tx(cfg)
+    from ..models import SpeechTransformer
+    from ..ops.losses import label_smoothed_cross_entropy, token_accuracy
+    import jax.numpy as jnp
+
+    model = SpeechTransformer(cfg.model)
+    smoothing = cfg.train.label_smoothing
+
+    def step(state: TrainState, batch: Batch, rng: jax.Array):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits = model.apply(
+                params, batch.feats, batch.frame_lens,
+                batch.targets_in, batch.target_lens,
+                deterministic=False, rngs={"dropout": dropout_rng})
+            loss, tokens = label_smoothed_cross_entropy(
+                logits, batch.targets_out, smoothing=smoothing)
+            return loss, (tokens, token_accuracy(logits, batch.targets_out))
+
+        (loss, (tokens, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        metrics = {"loss": loss, "grad_norm": grad_norm, "tokens": tokens,
+                   "accuracy": acc}
+        return new_state, metrics
+
+    def with_shardings(state_example: TrainState, batch_example: Batch):
+        s_sh = state_shardings(mesh, state_example)
+        b_sh = batch_shardings(mesh, batch_example)
+        m_sh = {k: NamedSharding(mesh, P()) for k in
+                ("loss", "grad_norm", "tokens", "accuracy")}
+        return jax.jit(
+            step,
+            in_shardings=(s_sh, b_sh, NamedSharding(mesh, P())),
+            out_shardings=(s_sh, m_sh),
+            donate_argnums=(0,) if donate else (),
+        )
+
+    return with_shardings
