@@ -172,6 +172,14 @@ class ExperimentConfig:
     def config_hash(self) -> str:
         return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
 
+    def model_hash(self) -> str:
+        """Hash of the checkpoint-compatibility surface only (architecture +
+        features); scheduling/logging knobs may change across resumes."""
+        payload = json.dumps(
+            {"model": _asdict(self.model), "features": _asdict(self.features)},
+            sort_keys=True)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)
 
@@ -209,6 +217,8 @@ def tiny_config() -> ExperimentConfig:
             use_flash_attention=False, dtype="float32",
         ),
         train=TrainConfig(batch_size=8, warmup_steps=100, grad_clip_norm=5.0),
+        data=DataConfig(max_target_len=32,
+                        bucket_boundaries=(100, 200, 300, 512)),
         decode=DecodeConfig(beam_size=5, max_decode_len=32),
     )
 

@@ -1,0 +1,208 @@
+"""Input pipeline (reference: ``AudioDataset``/``collate_fn``/``DataLoader``
+with length sorting, padding, epoch shuffling — SURVEY.md §2.1
+"Dataset/loader"; the TPU redesign is the bucketed-by-length, host-sharded
+pipeline of SURVEY.md §5 "Long-context" item 1 and §3.5).
+
+Host side stays cheap: read manifests, shuffle per epoch (seeded,
+host-sharded without duplication), bucket by length, pad to the bucket's
+static shape, read PCM. Feature extraction (fbank/CMVN/SpecAugment) runs
+on-device inside the jit'd step (see ``make_preprocess_fn``) — the host
+never computes an FFT.
+
+Static shapes: each bucket has a fixed (audio_samples, target_len) pad
+shape and fixed batch size => at most ``len(buckets)`` XLA compilations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DataConfig, ExperimentConfig, FeatureConfig, SpecAugmentConfig
+from ..train import Batch
+from .features import extract_features, frame_lengths_from_sample_lengths
+from .prepare import read_audio, read_manifest
+from .tokenizer import EOS, PAD, SOS
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioBatch:
+    """Padded raw-audio batch (features are computed on device)."""
+    audio: jnp.ndarray          # [B, S] float32
+    sample_lens: jnp.ndarray    # [B]
+    targets_in: jnp.ndarray     # [B, U]
+    targets_out: jnp.ndarray    # [B, U]
+    target_lens: jnp.ndarray    # [B]
+    valid: jnp.ndarray          # [B] bool — False for eval-padding rows
+
+
+jax.tree_util.register_pytree_node(
+    AudioBatch,
+    lambda b: ((b.audio, b.sample_lens, b.targets_in, b.targets_out,
+                b.target_lens, b.valid), None),
+    lambda _, xs: AudioBatch(*xs),
+)
+
+
+def _frames_for_samples(n: int, fcfg: FeatureConfig) -> int:
+    if n < fcfg.frame_length:
+        return 0
+    return 1 + (n - fcfg.frame_length) // fcfg.frame_shift
+
+
+def _samples_for_frames(frames: int, fcfg: FeatureConfig) -> int:
+    return fcfg.frame_length + (frames - 1) * fcfg.frame_shift
+
+
+class ManifestDataset:
+    """Loaded manifest with tokenized targets; filters over-long utterances
+    (reference behavior: sort + discard/clip long utts, SURVEY.md §5)."""
+
+    def __init__(self, manifest_path: str, data_cfg: DataConfig,
+                 feature_cfg: FeatureConfig):
+        self.entries = read_manifest(manifest_path)
+        self.fcfg = feature_cfg
+        kept = []
+        for e in self.entries:
+            frames = _frames_for_samples(e["num_samples"], feature_cfg)
+            if frames == 0 or frames > data_cfg.max_source_frames:
+                continue
+            if len(e["tokens"]) + 1 > data_cfg.max_target_len:
+                continue
+            kept.append(e)
+        self.dropped = len(self.entries) - len(kept)
+        self.entries = kept
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+
+class BucketedBatcher:
+    """Length-bucketed, epoch-shuffled, host-sharded batch iterator.
+
+    Each host sees entries where ``index % num_shards == shard_index``
+    (deterministic, no duplication — SURVEY.md §7 hard part 4).
+    """
+
+    def __init__(
+        self,
+        ds: ManifestDataset,
+        *,
+        batch_size: int,
+        bucket_boundaries: Sequence[int],     # frame-count upper bounds
+        target_len: int,
+        seed: int = 0,
+        shard_index: int = 0,
+        num_shards: int = 1,
+        drop_remainder: bool = True,
+        shuffle: bool = True,
+    ):
+        self.ds = ds
+        self.batch_size = batch_size
+        self.boundaries = list(bucket_boundaries)
+        self.target_len = target_len
+        self.seed = seed
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.drop_remainder = drop_remainder
+        self.shuffle = shuffle
+
+    def _bucket_of(self, frames: int) -> int:
+        for i, b in enumerate(self.boundaries):
+            if frames <= b:
+                return i
+        return len(self.boundaries) - 1
+
+    def epoch(self, epoch_index: int) -> Iterator[AudioBatch]:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch_index)
+            rng.shuffle(order)
+        order = order[self.shard_index::self.num_shards]
+
+        buckets: Dict[int, List[int]] = {}
+        for idx in order:
+            e = self.ds.entries[idx]
+            b = self._bucket_of(_frames_for_samples(e["num_samples"], self.ds.fcfg))
+            buckets.setdefault(b, []).append(idx)
+            if len(buckets[b]) == self.batch_size:
+                yield self._make_batch(buckets.pop(b), b)
+        if not self.drop_remainder:
+            for b, idxs in sorted(buckets.items()):
+                if idxs:
+                    yield self._make_batch(idxs, b, pad_to_batch=True)
+
+    def _make_batch(self, idxs: List[int], bucket: int,
+                    *, pad_to_batch: bool = False) -> AudioBatch:
+        fcfg = self.ds.fcfg
+        max_samples = _samples_for_frames(self.boundaries[bucket], fcfg)
+        bsz = self.batch_size if pad_to_batch else len(idxs)
+        audio = np.zeros((bsz, max_samples), np.float32)
+        slens = np.zeros((bsz,), np.int32)
+        tin = np.full((bsz, self.target_len), PAD, np.int32)
+        tout = np.full((bsz, self.target_len), PAD, np.int32)
+        tlens = np.zeros((bsz,), np.int32)
+        valid = np.zeros((bsz,), bool)
+        for row, idx in enumerate(idxs):
+            e = self.ds.entries[idx]
+            samples, _ = read_audio(e["audio"])
+            n = min(len(samples), max_samples)
+            audio[row, :n] = samples[:n]
+            slens[row] = n
+            toks = e["tokens"][: self.target_len - 1]
+            tin[row, 0] = SOS
+            tin[row, 1:1 + len(toks)] = toks
+            tout[row, :len(toks)] = toks
+            tout[row, len(toks)] = EOS
+            tlens[row] = len(toks) + 1
+            valid[row] = True
+        for row in range(len(idxs), bsz):   # eval padding rows
+            slens[row] = fcfg.frame_length
+            tlens[row] = 1
+            tin[row, 0] = SOS
+            tout[row, 0] = EOS
+        return AudioBatch(
+            audio=jnp.asarray(audio), sample_lens=jnp.asarray(slens),
+            targets_in=jnp.asarray(tin), targets_out=jnp.asarray(tout),
+            target_lens=jnp.asarray(tlens), valid=jnp.asarray(valid))
+
+
+def make_preprocess_fn(feature_cfg: FeatureConfig,
+                       spec_cfg: Optional[SpecAugmentConfig] = None):
+    """On-device audio -> features: fbank + CMVN (+ SpecAugment when a key
+    is given). Composable inside the jit'd train step."""
+    from .augment import spec_augment
+
+    def preprocess(batch: AudioBatch, key: Optional[jax.Array] = None) -> Batch:
+        feats, frame_lens = extract_features(
+            batch.audio, batch.sample_lens, feature_cfg)
+        if spec_cfg is not None and spec_cfg.enabled and key is not None:
+            feats = spec_augment(key, feats, frame_lens, spec_cfg)
+        return Batch(feats=feats, frame_lens=frame_lens,
+                     targets_in=batch.targets_in,
+                     targets_out=batch.targets_out,
+                     target_lens=batch.target_lens)
+
+    return preprocess
+
+
+def make_audio_train_step(cfg: ExperimentConfig, *, donate: bool = True):
+    """Fused on-device (preprocess -> model -> loss -> update) train step
+    taking raw AudioBatch — the production path (fbank runs on the TPU,
+    SURVEY.md §2.1 native-checklist row 1)."""
+    from ..train import TrainState, make_train_step
+
+    preprocess = make_preprocess_fn(cfg.features, cfg.spec_augment)
+    inner = make_train_step(cfg, donate=False)  # we jit the composition
+
+    def step(state: TrainState, abatch: AudioBatch, rng: jax.Array):
+        aug_key, step_key = jax.random.split(jax.random.fold_in(rng, state.step))
+        batch = preprocess(abatch, aug_key)
+        return inner(state, batch, step_key)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+

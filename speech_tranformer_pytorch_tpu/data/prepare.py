@@ -1,0 +1,185 @@
+"""Corpus preparation (reference: ``egs/aishell/`` shell/python recipe —
+SURVEY.md §2.1 "AISHELL recipe" / §3.4: walk wav dirs, join transcripts,
+normalize, build char vocab, emit train/dev/test manifests).
+
+Manifest format: JSONL, one utterance per line:
+  {"utt_id": ..., "audio": "<path .wav|.npy>", "num_samples": N,
+   "text": ..., "tokens": [ids]}
+
+WAV I/O uses the stdlib ``wave`` module (16-bit PCM) — no torchaudio/sox.
+Includes the synthetic-fixture writer (SURVEY.md §7 step 1) so the entire
+downstream stack is testable with no corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import wave
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from .tokenizer import CharTokenizer, normalize_text
+
+
+# ---------------------------------------------------------------------------
+# Audio I/O (stdlib only)
+# ---------------------------------------------------------------------------
+
+def read_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Read .wav (16-bit PCM, via stdlib) or .npy (float32 + rate sidecar
+    convention: stored as dict or plain array at 16 kHz). Returns
+    (float32 samples in [-1, 1], sample_rate)."""
+    if path.endswith(".npy"):
+        arr = np.load(path, allow_pickle=False)
+        return arr.astype(np.float32), 16000
+    with wave.open(path, "rb") as w:
+        assert w.getsampwidth() == 2, f"{path}: only 16-bit PCM supported"
+        assert w.getnchannels() == 1, f"{path}: only mono supported"
+        rate = w.getframerate()
+        data = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    return (data.astype(np.float32) / 32768.0), rate
+
+
+def write_wav(path: str, samples: np.ndarray, sample_rate: int = 16000) -> None:
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+
+
+# ---------------------------------------------------------------------------
+# Manifests
+# ---------------------------------------------------------------------------
+
+def write_manifest(path: str, entries: Iterable[Dict]) -> int:
+    n = 0
+    with open(path, "w", encoding="utf-8") as f:
+        for e in entries:
+            f.write(json.dumps(e, ensure_ascii=False) + "\n")
+            n += 1
+    return n
+
+
+def read_manifest(path: str) -> List[Dict]:
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def prepare_aishell(
+    corpus_dir: str,
+    out_dir: str,
+    *,
+    min_count: int = 1,
+) -> Dict[str, str]:
+    """AISHELL-1 layout: ``wav/{train,dev,test}/SSSS/BAC...wav`` +
+    ``transcript/aishell_transcript_v0.8.txt`` (utt-id text per line).
+    Builds char vocab from train transcripts; emits per-split manifests.
+    Returns {"vocab": path, "train": path, "dev": path, "test": path}.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    trans_path = None
+    for root, _, files in os.walk(os.path.join(corpus_dir, "transcript")):
+        for fn in files:
+            if fn.endswith(".txt"):
+                trans_path = os.path.join(root, fn)
+    if trans_path is None:
+        raise FileNotFoundError(f"no transcript .txt under {corpus_dir}/transcript")
+
+    transcripts: Dict[str, str] = {}
+    with open(trans_path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split(maxsplit=1)
+            if len(parts) == 2:
+                transcripts[parts[0]] = parts[1]
+
+    splits: Dict[str, List[Tuple[str, str]]] = {}
+    for split in ("train", "dev", "test"):
+        split_dir = os.path.join(corpus_dir, "wav", split)
+        utts = []
+        for root, _, files in os.walk(split_dir):
+            for fn in sorted(files):
+                if fn.endswith(".wav"):
+                    utt_id = os.path.splitext(fn)[0]
+                    if utt_id in transcripts:
+                        utts.append((utt_id, os.path.join(root, fn)))
+        splits[split] = utts
+
+    tok = CharTokenizer.train(
+        (transcripts[u] for u, _ in splits.get("train", [])),
+        min_count=min_count)
+    vocab_path = os.path.join(out_dir, "vocab.json")
+    tok.save(vocab_path)
+
+    out = {"vocab": vocab_path}
+    for split, utts in splits.items():
+        def entries():
+            for utt_id, wav in utts:
+                samples, rate = read_audio(wav)
+                text = normalize_text(transcripts[utt_id])
+                yield {"utt_id": utt_id, "audio": wav,
+                       "num_samples": int(len(samples)),
+                       "sample_rate": int(rate), "text": text,
+                       "tokens": tok.encode(text)}
+        mpath = os.path.join(out_dir, f"{split}.jsonl")
+        n = write_manifest(mpath, entries())
+        out[split] = mpath
+        print(f"{split}: {n} utterances -> {mpath}")
+    return out
+
+
+def prepare_synthetic(
+    out_dir: str,
+    *,
+    num_train: int = 32,
+    num_dev: int = 8,
+    num_test: int = 8,
+    vocab_size: int = 32,
+    seed: int = 0,
+) -> Dict[str, str]:
+    """Write a synthetic tone corpus as real WAV files + manifests + vocab —
+    the zero-corpus fixture for the full pipeline (SURVEY.md §7 step 1)."""
+    from .synthetic import make_synthetic_dataset
+
+    os.makedirs(os.path.join(out_dir, "wav"), exist_ok=True)
+    counts = {"train": num_train, "dev": num_dev, "test": num_test}
+    n_total = sum(counts.values())
+    ds = make_synthetic_dataset(n_total, vocab_size=vocab_size, seed=seed)
+
+    # Fake "characters": map token id -> a CJK codepoint so the char
+    # tokenizer path is exercised exactly like AISHELL.
+    id2char = {i: chr(0x4E00 + i) for i in range(4, vocab_size)}
+    texts = ["".join(id2char[t] for t in tr) for tr in ds.transcripts]
+    tok = CharTokenizer.train(texts)
+
+    out = {}
+    idx = 0
+    vocab_path = os.path.join(out_dir, "vocab.json")
+    tok.save(vocab_path)
+    out["vocab"] = vocab_path
+    for split, n in counts.items():
+        def entries():
+            nonlocal idx
+            for _ in range(n):
+                utt_id = f"SYN{idx:05d}"
+                wav = os.path.join(out_dir, "wav", f"{utt_id}.wav")
+                write_wav(wav, ds.waves[idx], ds.sample_rate)
+                text = texts[idx]
+                yield {"utt_id": utt_id, "audio": wav,
+                       "num_samples": int(len(ds.waves[idx])),
+                       "sample_rate": ds.sample_rate, "text": text,
+                       "tokens": tok.encode(text)}
+                idx += 1
+        mpath = os.path.join(out_dir, f"{split}.jsonl")
+        write_manifest(mpath, entries())
+        out[split] = mpath
+    return out

@@ -46,6 +46,11 @@ class PositionalEncoding(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool, offset: int = 0) -> jnp.ndarray:
         seq_len = x.shape[-2]
+        if seq_len + offset > self.max_len:
+            raise ValueError(
+                f"sequence length {seq_len}+{offset} exceeds positional table "
+                f"max_len={self.max_len}; raise model.max_source_positions/"
+                f"max_target_positions or shorten data.max_target_len")
         pe = jnp.asarray(sinusoidal_position_encoding(self.max_len, self.d_model))
         x = x + pe[offset:offset + seq_len].astype(self.dtype)
         return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)

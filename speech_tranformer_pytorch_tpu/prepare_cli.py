@@ -1,0 +1,59 @@
+"""Data preparation CLI (reference: ``egs/aishell/run.sh`` stages 0-2 —
+SURVEY.md §3.4).
+
+  python -m speech_tranformer_pytorch_tpu.prepare_cli aishell \
+      --corpus /data/aishell --out exp/data
+  python -m speech_tranformer_pytorch_tpu.prepare_cli synthetic \
+      --out exp/synth --num-train 32
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("aishell", help="AISHELL-1 manifests + char vocab")
+    a.add_argument("--corpus", required=True)
+    a.add_argument("--out", required=True)
+    a.add_argument("--min-count", type=int, default=1)
+
+    s = sub.add_parser("synthetic", help="synthetic tone corpus fixture")
+    s.add_argument("--out", required=True)
+    s.add_argument("--num-train", type=int, default=32)
+    s.add_argument("--num-dev", type=int, default=8)
+    s.add_argument("--num-test", type=int, default=8)
+    s.add_argument("--vocab-size", type=int, default=32)
+    s.add_argument("--seed", type=int, default=0)
+
+    b = sub.add_parser("bpe", help="train a BPE tokenizer from a manifest")
+    b.add_argument("--manifest", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--vocab-size", type=int, default=5000)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "aishell":
+        from .data.prepare import prepare_aishell
+        paths = prepare_aishell(args.corpus, args.out,
+                                min_count=args.min_count)
+    elif args.cmd == "synthetic":
+        from .data.prepare import prepare_synthetic
+        paths = prepare_synthetic(
+            args.out, num_train=args.num_train, num_dev=args.num_dev,
+            num_test=args.num_test, vocab_size=args.vocab_size,
+            seed=args.seed)
+    else:
+        from .data.prepare import read_manifest
+        from .data.tokenizer import BpeTokenizer
+        texts = [e["text"] for e in read_manifest(args.manifest)]
+        tok = BpeTokenizer.train(texts, args.vocab_size)
+        tok.save(args.out)
+        paths = {"vocab": args.out}
+    print(paths)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,189 @@
+"""Training/eval orchestration (reference: ``Solver.train`` /
+``_run_one_epoch`` — SURVEY.md §2.1 "Trainer/solver", §3.1): epoch loop,
+per-k-batch logging, dev cross-validation, step-based checkpoints with
+bit-exact resume, best-model tracking.
+
+The hot path is the fused audio->features->model->update jit'd step from
+``data/pipeline.py``; this module is plain Python orchestration."""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ExperimentConfig
+from .data.pipeline import (AudioBatch, BucketedBatcher, ManifestDataset,
+                            make_audio_train_step, make_preprocess_fn)
+from .models import SpeechTransformer
+from .ops.losses import label_smoothed_cross_entropy
+from .train import TrainState, create_train_state
+from .utils.checkpoint import Checkpointer, CheckpointState
+from .utils.logging import MetricsLogger
+
+
+def make_audio_eval_step(cfg: ExperimentConfig):
+    """Deterministic dev loss over an AudioBatch, masking eval-padding rows."""
+    model = SpeechTransformer(cfg.model)
+    preprocess = make_preprocess_fn(cfg.features, None)
+    smoothing = cfg.train.label_smoothing
+
+    @jax.jit
+    def step(params, abatch: AudioBatch):
+        batch = preprocess(abatch)
+        logits = model.apply(params, batch.feats, batch.frame_lens,
+                             batch.targets_in, batch.target_lens)
+        # zero out padding rows by zeroing their targets (pad_id==0 weight 0)
+        tgt = jnp.where(abatch.valid[:, None], batch.targets_out, 0)
+        loss, tokens = label_smoothed_cross_entropy(
+            logits, tgt, smoothing=smoothing)
+        return {"loss": loss, "tokens": tokens}
+
+    return step
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        *,
+        work_dir: str,
+        train_manifest: Optional[str] = None,
+        dev_manifest: Optional[str] = None,
+        resume: bool = False,
+    ):
+        self.cfg = cfg
+        self.work_dir = work_dir
+        t = cfg.train
+        self.train_ds = ManifestDataset(
+            train_manifest or cfg.data.train_manifest, cfg.data, cfg.features)
+        self.dev_ds = None
+        dev_path = dev_manifest or cfg.data.dev_manifest
+        if dev_path:
+            self.dev_ds = ManifestDataset(dev_path, cfg.data, cfg.features)
+
+        shard_index = jax.process_index()
+        num_shards = jax.process_count()
+        per_host_batch = max(t.batch_size // num_shards, 1)
+        target_len = min(cfg.data.max_target_len,
+                         cfg.model.max_target_positions)
+        self.batcher = BucketedBatcher(
+            self.train_ds, batch_size=per_host_batch,
+            bucket_boundaries=cfg.data.bucket_boundaries,
+            target_len=target_len, seed=t.seed,
+            shard_index=shard_index, num_shards=num_shards,
+            drop_remainder=True)
+        if self.dev_ds is not None:
+            self.dev_batcher = BucketedBatcher(
+                self.dev_ds, batch_size=per_host_batch,
+                bucket_boundaries=cfg.data.bucket_boundaries,
+                target_len=target_len, seed=0,
+                shard_index=shard_index, num_shards=num_shards,
+                drop_remainder=False, shuffle=False)
+
+        self.step_fn = make_audio_train_step(cfg)
+        self.eval_fn = make_audio_eval_step(cfg)
+        self.logger = MetricsLogger(work_dir, console_every=1)
+        self.ckpt = Checkpointer(f"{work_dir}/checkpoints",
+                                 max_to_keep=t.keep_checkpoints)
+
+        # Init (or template for restore).
+        example = self._example_batch()
+        self.state = create_train_state(cfg, jax.random.PRNGKey(t.seed), example)
+        self.rng = jax.random.PRNGKey(t.seed + 1)
+        self.start_epoch = 0
+        self.start_batch = 0
+        self.best_dev_loss = float("inf")
+        if resume:
+            template = CheckpointState(self.state, self.rng, 0, 0,
+                                       cfg.model_hash())
+            step, restored = self.ckpt.restore(template)
+            if restored.config_hash and restored.config_hash != cfg.model_hash():
+                raise ValueError(
+                    f"checkpoint config hash {restored.config_hash} != "
+                    f"current {cfg.model_hash()}")
+            self.state = restored.state
+            self.rng = restored.rng
+            self.start_epoch = restored.epoch
+            self.start_batch = restored.batch_in_epoch
+            print(f"resumed from step {step} "
+                  f"(epoch {self.start_epoch}, batch {self.start_batch})")
+
+    def _example_batch(self) -> AudioBatch:
+        from .train import Batch
+        it = iter(self.batcher.epoch(0))
+        abatch = next(it)
+        pre = make_preprocess_fn(self.cfg.features, None)
+        b = jax.jit(pre)(abatch)
+        return b
+
+    def train(self, *, max_steps: Optional[int] = None) -> TrainState:
+        cfg = self.cfg
+        t = cfg.train
+        window_t0 = time.perf_counter()
+        window_audio = 0.0
+        window_tokens = 0.0
+        for epoch in range(self.start_epoch, t.num_epochs):
+            for bi, abatch in enumerate(self.batcher.epoch(epoch)):
+                if epoch == self.start_epoch and bi < self.start_batch:
+                    continue
+                self.state, metrics = self.step_fn(self.state, abatch, self.rng)
+                step = int(jax.device_get(self.state.step))
+                window_audio += float(jax.device_get(metrics["audio_seconds"])) \
+                    if "audio_seconds" in metrics else 0.0
+                window_tokens += float(jax.device_get(metrics["tokens"]))
+
+                if step % t.log_every == 0:
+                    dt = time.perf_counter() - window_t0
+                    self.logger.log(step, {
+                        "loss": jax.device_get(metrics["loss"]),
+                        "grad_norm": jax.device_get(metrics["grad_norm"]),
+                        "accuracy": jax.device_get(metrics["accuracy"]),
+                        "audio_sps": window_audio / max(dt, 1e-9),
+                        "tokens_per_s": window_tokens / max(dt, 1e-9),
+                        "epoch": epoch,
+                    })
+                    window_t0 = time.perf_counter()
+                    window_audio = window_tokens = 0.0
+
+                if step % t.checkpoint_every_steps == 0:
+                    self.ckpt.save(step, CheckpointState(
+                        self.state, self.rng, epoch, bi + 1,
+                        cfg.model_hash()))
+
+                if max_steps is not None and step >= max_steps:
+                    self._finish(epoch, 0)
+                    return self.state
+
+            if self.dev_ds is not None:
+                dev = self.evaluate()
+                self.logger.log(int(jax.device_get(self.state.step)), dev,
+                                prefix="dev_")
+                if dev["loss"] < self.best_dev_loss:
+                    self.best_dev_loss = dev["loss"]
+            # end-of-epoch checkpoint (reference: per-epoch torch.save)
+            self.ckpt.save(int(jax.device_get(self.state.step)),
+                           CheckpointState(self.state, self.rng, epoch + 1, 0,
+                                           cfg.model_hash()))
+        self._finish(t.num_epochs, 0)
+        return self.state
+
+    def evaluate(self) -> Dict[str, float]:
+        total_loss, total_tokens = 0.0, 0.0
+        for abatch in self.dev_batcher.epoch(0):
+            m = self.eval_fn(self.state.params, abatch)
+            tokens = float(jax.device_get(m["tokens"]))
+            total_loss += float(jax.device_get(m["loss"])) * tokens
+            total_tokens += tokens
+        return {"loss": total_loss / max(total_tokens, 1.0),
+                "tokens": total_tokens}
+
+    def _finish(self, epoch: int, batch: int) -> None:
+        self.ckpt.save(int(jax.device_get(self.state.step)),
+                       CheckpointState(self.state, self.rng, epoch, batch,
+                                       self.cfg.model_hash()))
+        self.ckpt.wait()
+        self.logger.close()

@@ -1,0 +1,189 @@
+"""Data layer tests: tokenizers, wav I/O, manifests, bucketed pipeline,
+SpecAugment (SURVEY.md §4)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_tranformer_pytorch_tpu.config import (DataConfig, FeatureConfig,
+                                                  SpecAugmentConfig)
+from speech_tranformer_pytorch_tpu.data import (BpeTokenizer, BucketedBatcher,
+                                                CharTokenizer,
+                                                ManifestDataset,
+                                                load_tokenizer,
+                                                make_preprocess_fn,
+                                                prepare_synthetic, read_audio,
+                                                read_manifest, write_wav)
+from speech_tranformer_pytorch_tpu.data.augment import spec_augment
+
+
+class TestCharTokenizer:
+    def test_roundtrip(self):
+        tok = CharTokenizer.train(["你好 世界", "好 的"])
+        ids = tok.encode("你好")
+        assert len(ids) == 2
+        assert tok.decode(ids) == "你好"
+
+    def test_specials_reserved(self):
+        tok = CharTokenizer.train(["AB"])
+        assert tok.vocab["<pad>"] == 0
+        assert tok.vocab["<sos>"] == 1
+        assert tok.vocab["<eos>"] == 2
+        assert tok.vocab["<unk>"] == 3
+
+    def test_unk(self):
+        tok = CharTokenizer.train(["AB"])
+        assert tok.encode("Z") == [3]
+
+    def test_space_removal_and_case(self):
+        tok = CharTokenizer.train(["a b"])
+        assert tok.decode(tok.encode("ab")) == "AB"
+
+    def test_save_load(self, tmp_path):
+        tok = CharTokenizer.train(["你好"])
+        p = str(tmp_path / "vocab.json")
+        tok.save(p)
+        tok2 = load_tokenizer(p)
+        assert tok2.vocab == tok.vocab
+
+
+class TestBpeTokenizer:
+    def test_train_and_roundtrip(self):
+        corpus = ["the cat sat on the mat", "the cat ran"] * 20
+        tok = BpeTokenizer.train(corpus, vocab_size=40)
+        ids = tok.encode("the cat")
+        assert tok.decode(ids) == "THE CAT"
+        assert tok.vocab_size <= 40
+
+    def test_merges_reduce_length(self):
+        corpus = ["aaaa aaaa aaaa"] * 10
+        small = BpeTokenizer.train(corpus, vocab_size=8)
+        big = BpeTokenizer.train(corpus, vocab_size=20)
+        assert len(big.encode("aaaa")) <= len(small.encode("aaaa"))
+
+    def test_save_load(self, tmp_path):
+        tok = BpeTokenizer.train(["hello world"] * 5, vocab_size=30)
+        p = str(tmp_path / "bpe.json")
+        tok.save(p)
+        tok2 = load_tokenizer(p)
+        assert tok2.encode("hello world") == tok.encode("hello world")
+        assert tok2.decode(tok2.encode("hello")) == "HELLO"
+
+
+class TestAudioIO:
+    def test_wav_roundtrip(self, tmp_path, rng):
+        samples = np.clip(rng.standard_normal(8000) * 0.3, -0.99, 0.99).astype(np.float32)
+        p = str(tmp_path / "a.wav")
+        write_wav(p, samples, 16000)
+        got, rate = read_audio(p)
+        assert rate == 16000
+        np.testing.assert_allclose(got, samples, atol=1e-4)
+
+
+class TestPrepareAndPipeline:
+    @pytest.fixture(scope="class")
+    def corpus(self, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("syncorpus"))
+        paths = prepare_synthetic(out, num_train=12, num_dev=4, num_test=4,
+                                  vocab_size=16, seed=0)
+        return paths
+
+    def test_manifests_written(self, corpus):
+        for split in ("train", "dev", "test"):
+            entries = read_manifest(corpus[split])
+            assert entries, split
+            e = entries[0]
+            assert os.path.exists(e["audio"])
+            assert e["num_samples"] > 0
+            assert e["tokens"]
+            # token ids decode back to the text
+            tok = load_tokenizer(corpus["vocab"])
+            assert tok.decode(e["tokens"]) == e["text"]
+
+    def test_bucketed_batcher_shapes_and_coverage(self, corpus):
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16),
+                             fcfg)
+        assert len(ds) == 12
+        batcher = BucketedBatcher(
+            ds, batch_size=4, bucket_boundaries=(50, 100, 200), target_len=8,
+            seed=0, drop_remainder=False)
+        seen = 0
+        for batch in batcher.epoch(0):
+            b = batch.audio.shape[0]
+            assert batch.targets_in.shape == (b, 8)
+            assert bool(batch.valid.any())
+            seen += int(np.asarray(batch.valid).sum())
+        assert seen == 12   # every utterance appears exactly once
+
+    def test_host_sharding_partitions(self, corpus):
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16), fcfg)
+        all_ids = set()
+        for shard in range(3):
+            batcher = BucketedBatcher(
+                ds, batch_size=2, bucket_boundaries=(200,), target_len=8,
+                seed=5, shard_index=shard, num_shards=3,
+                drop_remainder=False, shuffle=True)
+            for batch in batcher.epoch(0):
+                for row in range(batch.audio.shape[0]):
+                    if bool(batch.valid[row]):
+                        key = (float(np.asarray(batch.audio[row]).sum()),
+                               int(batch.sample_lens[row]))
+                        assert key not in all_ids, "duplicate across shards"
+                        all_ids.add(key)
+        assert len(all_ids) == 12
+
+    def test_epoch_shuffling_changes_order(self, corpus):
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16), fcfg)
+        batcher = BucketedBatcher(ds, batch_size=4, bucket_boundaries=(200,),
+                                  target_len=8, seed=1)
+        e0 = [np.asarray(b.sample_lens).tolist() for b in batcher.epoch(0)]
+        e1 = [np.asarray(b.sample_lens).tolist() for b in batcher.epoch(1)]
+        e0b = [np.asarray(b.sample_lens).tolist() for b in batcher.epoch(0)]
+        assert e0 == e0b          # deterministic given epoch
+        assert e0 != e1 or len(e0) <= 1
+
+    def test_preprocess_on_device(self, corpus):
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16), fcfg)
+        batcher = BucketedBatcher(ds, batch_size=4, bucket_boundaries=(200,),
+                                  target_len=8, seed=0)
+        batch = next(iter(batcher.epoch(0)))
+        pre = make_preprocess_fn(fcfg)
+        out = jax.jit(pre)(batch)
+        assert out.feats.ndim == 3 and out.feats.shape[-1] == 80
+        assert np.isfinite(np.asarray(out.feats)).all()
+        assert (np.asarray(out.frame_lens) > 0).all()
+
+
+class TestSpecAugment:
+    def test_masks_applied(self):
+        cfg = SpecAugmentConfig(enabled=True, num_freq_masks=1,
+                                freq_mask_width=10, num_time_masks=1,
+                                time_mask_width=20)
+        feats = jnp.ones((2, 100, 80))
+        lens = jnp.array([100, 80])
+        out = spec_augment(jax.random.PRNGKey(0), feats, lens, cfg)
+        assert out.shape == feats.shape
+        zeros = float((np.asarray(out) == 0).mean())
+        assert 0.0 < zeros < 0.9
+
+    def test_disabled_identity(self):
+        cfg = SpecAugmentConfig(enabled=False)
+        feats = jnp.ones((1, 10, 8))
+        out = spec_augment(jax.random.PRNGKey(0), feats, jnp.array([10]), cfg)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(feats))
+
+    def test_different_keys_different_masks(self):
+        cfg = SpecAugmentConfig(enabled=True)
+        feats = jnp.ones((1, 200, 80))
+        lens = jnp.array([200])
+        a = spec_augment(jax.random.PRNGKey(1), feats, lens, cfg)
+        b = spec_augment(jax.random.PRNGKey(2), feats, lens, cfg)
+        assert not np.array_equal(np.asarray(a), np.asarray(b))
