@@ -27,6 +27,16 @@ from ..config import FeatureConfig
 _LOG_EPS = 1.1920928955078125e-07  # float32 eps, matches Kaldi's floor
 
 
+def _pallas_fbank_ok() -> bool:
+    """Fused kernel only on real TPU (interpret mode is for tests); env
+    kill-switch ST_TPU_DISABLE_PALLAS=1."""
+    import os
+    if os.environ.get("ST_TPU_DISABLE_PALLAS", "0") == "1":
+        return False
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 def num_frames(num_samples: int, frame_length: int, frame_shift: int) -> int:
     """Kaldi snip-edges frame count."""
     if num_samples < frame_length:
@@ -154,7 +164,7 @@ def log_mel_spectrogram(
             f"waveform too short: {waveform.shape[-1]} samples < "
             f"{cfg.frame_length} frame_length"
         )
-    if cfg.use_pallas:
+    if cfg.use_pallas and _pallas_fbank_ok():
         from ..kernels.stft_mel import log_mel_pallas
         return log_mel_pallas(waveform, cfg, n)
     return _log_mel_impl(waveform, cfg, n, dither_key)

@@ -1,6 +1,227 @@
-"""Pallas flash-attention kernel (placeholder — jnp path is used until the
-kernel lands; see kernels/interface.py for dispatch)."""
+"""Pallas flash attention for TPU with frame-level (ragged-length) masking.
+
+Replaces the reference's ``torch.nn.MultiheadAttention`` SDPA (SURVEY.md
+§2.1 "Multi-head attention"; native-checklist row 2: "Pallas
+flash-attention with frame-level masking") for encoder-self, decoder-self
+(causal) and cross attention.
+
+Design (see /opt/skills/guides/boom_attention_tricks.md):
+  * grid (B, H, Tq/block_q, Skv/block_k), kv-dim innermost & sequential;
+    online softmax with fp32 m/l/acc scratch in VMEM.
+  * key-side ragged lengths via scalar-prefetched ``kv_lengths`` — padded
+    frames are masked inside the kernel, and KV tiles entirely beyond the
+    utterance length (or above the causal diagonal) are skipped, so MXU
+    work scales with real frames, not padded frames.
+  * mask value -0.7*f32max (not -inf) to avoid exp(-inf - -inf) NaNs.
+  * backward: custom_vjp that recomputes attention blockwise-equivalent in
+    jnp from the same mask semantics (correctness-first; the fwd kernel is
+    the bandwidth-critical path at speech sequence lengths).
+
+Layout: inputs are [B, T, H, D] (framework convention); kernel runs on
+[B, H, T, D].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
 
 
-def mha_flash(*args, **kwargs):
-    raise NotImplementedError("pallas flash attention not yet implemented")
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _fa_kernel(kv_len_ref,            # scalar-prefetch [B] int32
+               q_ref, k_ref, v_ref,   # [1, 1, blk, D]
+               o_ref,                 # [1, 1, block_q, D]
+               m_ref, l_ref, acc_ref, # scratch
+               *, causal: bool, sm_scale: float, block_q: int,
+               block_k: int, kv_steps: int):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    kv_len = kv_len_ref[b]
+
+    # Tile-level skip: beyond utterance length, or above causal diagonal.
+    in_length = ki * block_k < kv_len
+    if causal:
+        below_diag = (qi + 1) * block_q - 1 >= ki * block_k
+        should_run = jnp.logical_and(in_length, below_diag)
+    else:
+        should_run = in_length
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]                          # [block_q, D]
+        k = k_ref[0, 0]                          # [block_k, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # [block_q, block_k]
+        s = s * sm_scale
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
+            + ki * block_k
+        mask = col < kv_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
+                + qi * block_q
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_ref[...]                      # [block_q, LANES]
+        l_prev = l_ref[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)          # [block_q, 1]
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_next)                     # [block_q, LANES]
+        p = jnp.exp(s - m_next[:, :1])                       # [block_q, block_k]
+        l_next = alpha * l_prev + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_prev.shape)
+        m_ref[...] = m_next
+        l_ref[...] = l_next
+
+        v = v_ref[0, 0]                          # [block_k, D]
+        pv = jax.lax.dot(p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)  # [block_q, D]
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+    @pl.when(ki == kv_steps - 1)
+    def _store():
+        l = l_ref[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+def _flash_fwd_bhtd(
+    q: jnp.ndarray,            # [B, H, Tq, D]
+    k: jnp.ndarray,            # [B, H, Skv, D]
+    v: jnp.ndarray,
+    kv_lengths: jnp.ndarray,   # [B] int32
+    *,
+    causal: bool,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    b, h, tq, d = q.shape
+    skv = k.shape[2]
+    sm_scale = 1.0 / (d ** 0.5)
+
+    # Pad sequence dims to block multiples (padded KV is masked by length;
+    # padded Q rows produce garbage rows that the caller slices away).
+    tq_p = _cdiv(tq, block_q) * block_q
+    skv_p = _cdiv(skv, block_k) * block_k
+    if tq_p != tq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0)))
+    if skv_p != skv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+
+    kv_steps = skv_p // block_k
+    grid = (b, h, tq_p // block_q, kv_steps)
+
+    kernel = functools.partial(
+        _fa_kernel, causal=causal, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, kv_steps=kv_steps)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, tq_p, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda b_, h_, q_, k_, *_: (b_, h_, q_, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h_, q_, k_, *_: (b_, h_, k_, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h_, q_, k_, *_: (b_, h_, k_, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda b_, h_, q_, k_, *_: (b_, h_, q_, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, LANES), jnp.float32),   # m
+                pltpu.VMEM((block_q, LANES), jnp.float32),   # l
+                pltpu.VMEM((block_q, d), jnp.float32),       # acc
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        # Interpreter on CPU so golden tests run without a TPU (§4).
+        interpret=(jax.default_backend() == "cpu"),
+    )(kv_lengths.astype(jnp.int32), q, k, v)
+    return out[:, :, :tq, :]
+
+
+def _reference_bhtd(q, k, v, kv_lengths, *, causal):
+    """jnp reference with identical mask semantics (backward + goldens)."""
+    d = q.shape[-1]
+    s = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                   preferred_element_type=jnp.float32) / (d ** 0.5)
+    skv = k.shape[2]
+    tq = q.shape[2]
+    col = jnp.arange(skv)[None, None, None, :]
+    mask = col < kv_lengths[:, None, None, None]
+    if causal:
+        row = jnp.arange(tq)[None, None, :, None]
+        mask = jnp.logical_and(mask, col <= row)
+    s = jnp.where(mask, s, MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", p, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_attention_bhtd(q, k, v, kv_lengths, causal):
+    return _flash_fwd_bhtd(q, k, v, kv_lengths, causal=causal)
+
+
+def _fwd(q, k, v, kv_lengths, causal):
+    o = _flash_fwd_bhtd(q, k, v, kv_lengths, causal=causal)
+    return o, (q, k, v, kv_lengths)
+
+
+def _bwd(causal, res, g):
+    q, k, v, kv_lengths = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _reference_bhtd(q_, k_, v_, kv_lengths,
+                                           causal=causal), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_attention_bhtd.defvjp(_fwd, _bwd)
+
+
+def mha_flash(
+    q: jnp.ndarray,            # [B, T, H, D]
+    k: jnp.ndarray,            # [B, S, H, D]
+    v: jnp.ndarray,
+    *,
+    q_lengths: Optional[jnp.ndarray] = None,   # informational (rows sliced
+    kv_lengths: Optional[jnp.ndarray] = None,  # by caller / loss-masked)
+    causal: bool = False,
+) -> jnp.ndarray:
+    """Flash attention entry point in framework layout [B, T, H, D]."""
+    if kv_lengths is None:
+        kv_lengths = jnp.full((q.shape[0],), k.shape[1], jnp.int32)
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    ot = _flash_attention_bhtd(qt, kt, vt, kv_lengths, causal)
+    return jnp.transpose(ot, (0, 2, 1, 3))

@@ -1,0 +1,99 @@
+"""Ring attention over the frame axis (SURVEY.md §5 "Long-context": shard
+the encoder frame axis over the 'model' mesh axis with shard_map, rotating
+K/V blocks around the ICI ring with ``lax.ppermute`` while accumulating
+online-softmax statistics; reference has nothing comparable).
+
+Used for the Large/Sharded long-bucket configs when a single chip cannot
+hold the full [T, T] attention workspace. Flag-gated; numerically equal to
+full attention (golden-tested on the fake 8-device mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .mesh import MODEL_AXIS
+
+
+def _ring_attention_local(q, k, v, kv_len_local, *, axis: str, scale: float):
+    """Per-device body: q [B, Tq/n, H, D] local; k/v local blocks rotate."""
+    n = jax.lax.psum(1, axis)
+    my = jax.lax.axis_index(axis)
+    block = k.shape[1]
+
+    m = jnp.full(q.shape[:2] + q.shape[2:3], -jnp.inf, jnp.float32)  # [B,Tq,H]
+    l = jnp.zeros_like(m)
+    o = jnp.zeros(q.shape, jnp.float32)
+
+    def step(carry, i):
+        m, l, o, k_blk, v_blk, len_blk = carry
+        src = (my - i) % n                      # which shard this block is
+        s = jnp.einsum("bthd,bshd->bths", q, k_blk,
+                       preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        # len_blk: number of valid frames in this block (per batch)
+        valid = col < len_blk[:, None, None, None]
+        s = jnp.where(valid, s, -1e30)
+
+        m_curr = jnp.max(s, axis=-1)                         # [B,Tq,H]
+        m_new = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[..., None])
+        p = jnp.where(valid, p, 0.0)
+        l_new = alpha * l + jnp.sum(p, axis=-1)
+        o_new = alpha[..., None] * o + jnp.einsum(
+            "bths,bshd->bthd", p.astype(v_blk.dtype), v_blk,
+            preferred_element_type=jnp.float32)
+
+        perm = [(j, (j + 1) % n) for j in range(n)]
+        k_next = jax.lax.ppermute(k_blk, axis, perm)
+        v_next = jax.lax.ppermute(v_blk, axis, perm)
+        len_next = jax.lax.ppermute(len_blk, axis, perm)
+        return (m_new, l_new, o_new, k_next, v_next, len_next), None
+
+    (m, l, o, _, _, _), _ = jax.lax.scan(
+        step, (m, l, o, k, v, kv_len_local), jnp.arange(n))
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    return (o / l_safe[..., None]).astype(q.dtype)
+
+
+def ring_attention(
+    q: jnp.ndarray,             # [B, T, H, D]
+    k: jnp.ndarray,             # [B, S, H, D]
+    v: jnp.ndarray,
+    kv_lengths: jnp.ndarray,    # [B] valid frame counts
+    mesh: Mesh,
+    *,
+    axis: str = MODEL_AXIS,
+) -> jnp.ndarray:
+    """Frame-axis-sharded attention; equals full softmax(QK^T)V with
+    key-padding masking. S must be divisible by the ring size."""
+    n = mesh.shape[axis]
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    if s % n != 0 or t % n != 0:
+        raise ValueError(f"seq dims ({t},{s}) must divide ring size {n}")
+    block = s // n
+    scale = 1.0 / (d ** 0.5)
+
+    # Per-shard valid lengths: shard j holds frames [j*block, (j+1)*block).
+    shard_starts = jnp.arange(n) * block
+    len_per_shard = jnp.clip(kv_lengths[:, None] - shard_starts[None, :],
+                             0, block)          # [B, n]
+
+    body = functools.partial(_ring_attention_local, axis=axis, scale=scale)
+    fn = shard_map(
+        lambda q_, k_, v_, lens_: body(q_, k_, v_, lens_[:, 0]),
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, axis),
+                  P(None, axis)),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    return fn(q, k, v, len_per_shard)

@@ -1,0 +1,94 @@
+"""Distributed topk (beam score exchange) and ring attention vs unsharded
+goldens on the fake 8-device mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_tranformer_pytorch_tpu.parallel import make_mesh
+from speech_tranformer_pytorch_tpu.parallel.beam_exchange import \
+    distributed_topk
+from speech_tranformer_pytorch_tpu.parallel.ring_attention import \
+    ring_attention
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 fake cpu devices")
+
+
+class TestDistributedTopk:
+    def test_matches_dense_topk(self, rng):
+        mesh = make_mesh(model_axis_size=4)
+        b, f, k = 3, 4 * 64, 5
+        scores = jnp.asarray(rng.standard_normal((b, f)).astype(np.float32))
+        want_v, want_i = jax.lax.top_k(scores, k)
+        got_v, got_i = distributed_topk(scores, k, mesh)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+    def test_beam_prune_shape(self, rng):
+        """Shaped like the real use: [B, K*V] with V sharded."""
+        mesh = make_mesh(model_axis_size=8)
+        b, beam, vocab = 2, 5, 8 * 32
+        scores = jnp.asarray(
+            rng.standard_normal((b, beam * vocab)).astype(np.float32))
+        # reshape so vocab (fastest-varying) is the sharded contiguous dim:
+        # candidates laid out [K, V] flattened -> shard V via [B, K, V] on
+        # last axis, then flatten per shard. For the test we shard K*V
+        # directly, which matches a vocab-sharded layout when K*V % n == 0.
+        want_v, want_i = jax.lax.top_k(scores, 2 * beam)
+        got_v, got_i = distributed_topk(scores, 2 * beam, mesh)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+    def test_rejects_indivisible(self, rng):
+        mesh = make_mesh(model_axis_size=8)
+        with pytest.raises(ValueError):
+            distributed_topk(jnp.zeros((2, 30)), 3, mesh)
+
+
+class TestRingAttention:
+    def test_matches_full_attention(self, rng):
+        from speech_tranformer_pytorch_tpu.models.modules import \
+            dot_product_attention
+        from speech_tranformer_pytorch_tpu.ops import masks as mask_ops
+
+        mesh = make_mesh(model_axis_size=4)
+        b, t, h, d = 2, 64, 2, 16
+        q = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+        lens = jnp.array([64, 37], jnp.int32)
+
+        got = ring_attention(q, k, v, lens, mesh)
+        bias = mask_ops.mask_to_bias(
+            mask_ops.padding_attention_mask(t, lens, t))
+        want = dot_product_attention(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_full_ring_8(self, rng):
+        from speech_tranformer_pytorch_tpu.models.modules import \
+            dot_product_attention
+        from speech_tranformer_pytorch_tpu.ops import masks as mask_ops
+
+        mesh = make_mesh(model_axis_size=8)
+        b, t, h, d = 1, 128, 1, 8
+        q = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+        lens = jnp.array([100], jnp.int32)
+        got = ring_attention(q, k, v, lens, mesh)
+        bias = mask_ops.mask_to_bias(
+            mask_ops.padding_attention_mask(t, lens, t))
+        want = dot_product_attention(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_rejects_indivisible(self, rng):
+        mesh = make_mesh(model_axis_size=8)
+        with pytest.raises(ValueError):
+            ring_attention(jnp.zeros((1, 30, 1, 8)), jnp.zeros((1, 30, 1, 8)),
+                           jnp.zeros((1, 30, 1, 8)), jnp.array([30]), mesh)
