@@ -166,3 +166,66 @@ def make_sharded_train_step(cfg, mesh: Mesh, *, donate: bool = True):
         )
 
     return with_shardings
+
+
+def audio_batch_shardings(mesh: Mesh, batch) -> Any:
+    """AudioBatch counterpart of batch_shardings (raw-audio production path)."""
+    from ..data.pipeline import AudioBatch
+    ds = lambda ndim: NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    return AudioBatch(audio=ds(2), sample_lens=ds(1), targets_in=ds(2),
+                      targets_out=ds(2), target_lens=ds(1), valid=ds(1))
+
+
+def make_sharded_audio_train_step(cfg, mesh: Mesh, *, donate: bool = True):
+    """Sharded fused (on-device fbank -> SpecAugment -> model -> update)
+    step over raw AudioBatch — the full production path under the mesh."""
+    import jax.numpy as jnp
+
+    from ..data.pipeline import make_preprocess_fn
+    from ..models import SpeechTransformer
+    from ..ops.losses import label_smoothed_cross_entropy, token_accuracy
+    from ..train import make_tx
+
+    tx = make_tx(cfg)
+    model = SpeechTransformer(cfg.model)
+    preprocess = make_preprocess_fn(cfg.features, cfg.spec_augment)
+    smoothing = cfg.train.label_smoothing
+
+    def step(state: TrainState, abatch, rng: jax.Array):
+        aug_key, dropout_rng = jax.random.split(
+            jax.random.fold_in(rng, state.step))
+        batch = preprocess(abatch, aug_key)
+
+        def loss_fn(params):
+            logits = model.apply(
+                params, batch.feats, batch.frame_lens,
+                batch.targets_in, batch.target_lens,
+                deterministic=False, rngs={"dropout": dropout_rng})
+            loss, tokens = label_smoothed_cross_entropy(
+                logits, batch.targets_out, smoothing=smoothing)
+            return loss, (tokens, token_accuracy(logits, batch.targets_out))
+
+        (loss, (tokens, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        metrics = {"loss": loss, "grad_norm": grad_norm, "tokens": tokens,
+                   "accuracy": acc}
+        return new_state, metrics
+
+    def with_shardings(state_example: TrainState, batch_example):
+        s_sh = state_shardings(mesh, state_example)
+        b_sh = audio_batch_shardings(mesh, batch_example)
+        m_sh = {k: NamedSharding(mesh, P()) for k in
+                ("loss", "grad_norm", "tokens", "accuracy")}
+        return jax.jit(
+            step,
+            in_shardings=(s_sh, b_sh, NamedSharding(mesh, P())),
+            out_shardings=(s_sh, m_sh),
+            donate_argnums=(0,) if donate else (),
+        )
+
+    return with_shardings

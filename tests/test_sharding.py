@@ -144,3 +144,49 @@ def test_multi_step_training_under_mesh(cfg, batch):
         sstate, metrics = step(sstate, sbatch, rng)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_sharded_audio_train_step(cfg):
+    """Full production path (audio -> fbank -> model -> update) under the
+    mesh: runs, finite, and loss decreases."""
+    from speech_tranformer_pytorch_tpu.data.synthetic import (
+        batch_from_dataset, make_synthetic_dataset)
+    from speech_tranformer_pytorch_tpu.data.pipeline import (
+        AudioBatch, make_preprocess_fn)
+    from speech_tranformer_pytorch_tpu.parallel.sharding import (
+        audio_batch_shardings, make_sharded_audio_train_step)
+
+    ds = make_synthetic_dataset(8, vocab_size=32, seed=7)
+    import numpy as np_
+    max_s = max(len(w) for w in ds.waves)
+    audio = np_.zeros((8, max_s), np_.float32)
+    slens = np_.zeros((8,), np_.int32)
+    for i, w in enumerate(ds.waves):
+        audio[i, :len(w)] = w
+        slens[i] = len(w)
+    u = max(len(t) for t in ds.transcripts) + 1
+    tin = np_.zeros((8, u), np_.int32); tout = np_.zeros((8, u), np_.int32)
+    tlens = np_.zeros((8,), np_.int32)
+    for i, t in enumerate(ds.transcripts):
+        tin[i, 0] = 1; tin[i, 1:1+len(t)] = t
+        tout[i, :len(t)] = t; tout[i, len(t)] = 2
+        tlens[i] = len(t) + 1
+    abatch = AudioBatch(jnp.asarray(audio), jnp.asarray(slens),
+                        jnp.asarray(tin), jnp.asarray(tout),
+                        jnp.asarray(tlens), jnp.ones((8,), bool))
+
+    pre = make_preprocess_fn(cfg.features, None)
+    example = jax.jit(pre)(abatch)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), example)
+
+    mesh = make_mesh(model_axis_size=2)
+    sstate = shard_train_state(state, mesh)
+    sbatch = jax.tree.map(jax.device_put, abatch,
+                          audio_batch_shardings(mesh, abatch))
+    step = make_sharded_audio_train_step(cfg, mesh)(state, abatch)
+    losses = []
+    for _ in range(10):
+        sstate, m = step(sstate, sbatch, jax.random.PRNGKey(2))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
