@@ -159,7 +159,7 @@ class Trainer:
                     return self.state
 
             if self.dev_ds is not None:
-                dev = self.evaluate()
+                dev = self.evaluate(decode_cer=True)
                 self.logger.log(int(jax.device_get(self.state.step)), dev,
                                 prefix="dev_")
                 if dev["loss"] < self.best_dev_loss:
@@ -171,15 +171,57 @@ class Trainer:
         self._finish(t.num_epochs, 0)
         return self.state
 
-    def evaluate(self) -> Dict[str, float]:
+    def evaluate(self, *, decode_cer: bool = False,
+                 max_decode_batches: int = 4) -> Dict[str, float]:
         total_loss, total_tokens = 0.0, 0.0
-        for abatch in self.dev_batcher.epoch(0):
+        refs, hyps = [], []
+        decode_fns = {}
+        for bi, abatch in enumerate(self.dev_batcher.epoch(0)):
             m = self.eval_fn(self.state.params, abatch)
             tokens = float(jax.device_get(m["tokens"]))
             total_loss += float(jax.device_get(m["loss"])) * tokens
             total_tokens += tokens
-        return {"loss": total_loss / max(total_tokens, 1.0),
-                "tokens": total_tokens}
+            if decode_cer and bi < max_decode_batches:
+                refs_b, hyps_b = self._greedy_batch(abatch, decode_fns)
+                refs.extend(refs_b)
+                hyps.extend(hyps_b)
+        out = {"loss": total_loss / max(total_tokens, 1.0),
+               "tokens": total_tokens}
+        if decode_cer and refs:
+            from .ops.metrics import cer
+            out["cer"] = cer(refs, hyps)["cer"]
+        return out
+
+    def _greedy_batch(self, abatch: AudioBatch, fns: Dict) -> tuple:
+        """Greedy-decode one dev AudioBatch; returns (refs, hyps) lists."""
+        import numpy as np
+
+        from .data.tokenizer import EOS
+        from .decoding import greedy_decode_jit, tokens_to_lists
+
+        model = SpeechTransformer(self.cfg.model)
+        pre = make_preprocess_fn(self.cfg.features, None)
+        batch = jax.jit(pre)(abatch)
+        key = batch.feats.shape
+        if key not in fns:
+            max_len = min(self.cfg.decode.max_decode_len,
+                          self.cfg.model.max_target_positions - 1)
+            fns[key] = jax.jit(lambda p, f, l: greedy_decode_jit(
+                model, p, f, l, max_len=max_len))
+        tokens, lengths = fns[key](self.state.params, batch.feats,
+                                   batch.frame_lens)
+        hyps_all = tokens_to_lists(tokens, lengths)
+        refs, hyps = [], []
+        tout = np.asarray(abatch.targets_out)
+        tlens = np.asarray(abatch.target_lens)
+        valid = np.asarray(abatch.valid)
+        for row in range(tout.shape[0]):
+            if not valid[row]:
+                continue
+            ref = [int(t) for t in tout[row, :tlens[row]] if t != EOS and t != 0]
+            refs.append(ref)
+            hyps.append([t for t in hyps_all[row] if t != EOS])
+        return refs, hyps
 
     def _finish(self, epoch: int, batch: int) -> None:
         self.ckpt.save(int(jax.device_get(self.state.step)),

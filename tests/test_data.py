@@ -187,3 +187,101 @@ class TestSpecAugment:
         a = spec_augment(jax.random.PRNGKey(1), feats, lens, cfg)
         b = spec_augment(jax.random.PRNGKey(2), feats, lens, cfg)
         assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestGrainPipeline:
+    @pytest.fixture(scope="class")
+    def corpus(self, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("graincorpus"))
+        return prepare_synthetic(out, num_train=12, num_dev=4, num_test=4,
+                                 vocab_size=16, seed=1)
+
+    def test_grain_covers_all_utterances(self, corpus):
+        from speech_tranformer_pytorch_tpu.data.grain_pipeline import \
+            GrainBucketedPipeline
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16), fcfg)
+        pipe = GrainBucketedPipeline(
+            ds, batch_size=4, bucket_boundaries=(200,), target_len=8,
+            seed=0, drop_remainder=False)
+        seen = 0
+        for batch in pipe.epoch(0):
+            seen += int(np.asarray(batch.valid).sum())
+            assert batch.targets_in.shape[1] == 8
+        assert seen == 12
+
+    def test_grain_deterministic_and_epoch_varies(self, corpus):
+        from speech_tranformer_pytorch_tpu.data.grain_pipeline import \
+            GrainBucketedPipeline
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16), fcfg)
+        pipe = GrainBucketedPipeline(
+            ds, batch_size=4, bucket_boundaries=(200,), target_len=8, seed=3,
+            drop_remainder=False)
+        sig = lambda ep: [np.asarray(b.sample_lens).tolist()
+                          for b in pipe.epoch(ep)]
+        assert sig(0) == sig(0)
+        assert sig(0) != sig(1) or len(sig(0)) <= 1
+
+    def test_grain_sharding_partitions(self, corpus):
+        from speech_tranformer_pytorch_tpu.data.grain_pipeline import \
+            GrainBucketedPipeline
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16), fcfg)
+        seen = []
+        for shard in range(2):
+            pipe = GrainBucketedPipeline(
+                ds, batch_size=2, bucket_boundaries=(200,), target_len=8,
+                seed=5, shard_index=shard, num_shards=2, drop_remainder=False)
+            for b in pipe.epoch(0):
+                for row in range(b.audio.shape[0]):
+                    if bool(b.valid[row]):
+                        seen.append(float(np.asarray(b.audio[row]).sum()))
+        assert len(seen) == 12
+        assert len(set(seen)) == 12, "duplicate utterance across shards"
+
+
+class TestAishellPrepare:
+    @pytest.fixture(scope="class")
+    def aishell_corpus(self, tmp_path_factory):
+        """Fabricate the AISHELL-1 on-disk layout with tiny wavs."""
+        import numpy as np_
+        from speech_tranformer_pytorch_tpu.data.prepare import write_wav
+        root = tmp_path_factory.mktemp("aishell")
+        rng = np_.random.default_rng(0)
+        trans_lines = []
+        utts = {"train": ["BAC009S0002W0122", "BAC009S0002W0123"],
+                "dev": ["BAC009S0724W0121"],
+                "test": ["BAC009S0764W0121"]}
+        texts = {"BAC009S0002W0122": "绿 是 阳春",
+                 "BAC009S0002W0123": "烟 景 大",
+                 "BAC009S0724W0121": "块 文章",
+                 "BAC009S0764W0121": "的 底色"}
+        for split, ids in utts.items():
+            for uid in ids:
+                spk = uid[6:11]
+                d = root / "wav" / split / spk
+                d.mkdir(parents=True, exist_ok=True)
+                wave = (rng.standard_normal(8000) * 0.1).astype(np_.float32)
+                write_wav(str(d / f"{uid}.wav"), wave)
+                trans_lines.append(f"{uid} {texts[uid]}")
+        td = root / "transcript"
+        td.mkdir()
+        (td / "aishell_transcript_v0.8.txt").write_text(
+            "\n".join(trans_lines), encoding="utf-8")
+        return str(root)
+
+    def test_prepare_aishell(self, aishell_corpus, tmp_path):
+        from speech_tranformer_pytorch_tpu.data.prepare import prepare_aishell
+        out = prepare_aishell(aishell_corpus, str(tmp_path / "out"))
+        assert set(out) == {"vocab", "train", "dev", "test"}
+        train = read_manifest(out["train"])
+        assert len(train) == 2
+        tok = load_tokenizer(out["vocab"])
+        e = train[0]
+        # normalization removed spaces; tokens decode to normalized text
+        assert " " not in e["text"]
+        assert tok.decode(e["tokens"]) == e["text"]
+        # dev/test tokens may contain <unk> for chars unseen in train
+        test = read_manifest(out["test"])
+        assert len(test) == 1

@@ -83,3 +83,26 @@ def test_state_is_pytree(overfit_setup):
     flat, treedef = jax.tree.flatten(state)
     state2 = jax.tree.unflatten(treedef, flat)
     assert int(state2.step) == int(state.step)
+
+
+def test_trainer_dev_cer(tmp_path):
+    """Trainer end-to-end with dev greedy-CER (synthetic corpus)."""
+    import os
+    from speech_tranformer_pytorch_tpu.data.prepare import prepare_synthetic
+    from speech_tranformer_pytorch_tpu.runner import Trainer
+
+    cfg = tiny_config()
+    cfg = cfg.replace(model=cfg.model.replace(
+        vocab_size=32, d_model=64, num_heads=2, d_ff=128,
+        num_encoder_layers=1, num_decoder_layers=1, dropout_rate=0.0,
+        subsample_channels=8))
+    cfg = cfg.replace(train=cfg.train.replace(
+        batch_size=8, num_epochs=1, log_every=5, checkpoint_every_steps=100))
+    paths = prepare_synthetic(str(tmp_path / "c"), num_train=8, num_dev=4,
+                              num_test=2, vocab_size=16, seed=0)
+    tr = Trainer(cfg, work_dir=str(tmp_path / "w"),
+                 train_manifest=paths["train"], dev_manifest=paths["dev"])
+    tr.train(max_steps=2)
+    dev = tr.evaluate(decode_cer=True)
+    assert "cer" in dev and 0.0 <= dev["cer"]
+    assert dev["tokens"] > 0
