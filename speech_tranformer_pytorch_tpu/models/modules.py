@@ -198,11 +198,13 @@ class FeedForward(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm computed in f32, output cast back to compute dtype."""
+    """LayerNorm with bf16 I/O; statistics accumulate in f32 inside the
+    fused flax kernel (avoids materializing a full f32 copy of the
+    activation — the explicit-cast version showed up as convert_reduce
+    fusions at ~12% of the train step on the XProf trace)."""
 
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32))
-        return y.astype(self.dtype)
+        return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)

@@ -97,6 +97,7 @@ class Trainer:
         self.start_epoch = 0
         self.start_batch = 0
         self.best_dev_loss = float("inf")
+        self.best_ckpt = None
         if resume:
             template = CheckpointState(self.state, self.rng, 0, 0,
                                        cfg.model_hash())
@@ -164,6 +165,15 @@ class Trainer:
                                 prefix="dev_")
                 if dev["loss"] < self.best_dev_loss:
                     self.best_dev_loss = dev["loss"]
+                    # Reference parity: keep the best-dev model separately
+                    # (Solver best-model tracking, SURVEY.md §2.1).
+                    if self.best_ckpt is None:
+                        self.best_ckpt = Checkpointer(
+                            f"{self.work_dir}/best", max_to_keep=1)
+                    self.best_ckpt.save(
+                        int(jax.device_get(self.state.step)),
+                        CheckpointState(self.state, self.rng, epoch + 1, 0,
+                                        self.cfg.model_hash()))
             # end-of-epoch checkpoint (reference: per-epoch torch.save)
             self.ckpt.save(int(jax.device_get(self.state.step)),
                            CheckpointState(self.state, self.rng, epoch + 1, 0,
@@ -228,4 +238,6 @@ class Trainer:
                        CheckpointState(self.state, self.rng, epoch, batch,
                                        self.cfg.model_hash()))
         self.ckpt.wait()
+        if self.best_ckpt is not None:
+            self.best_ckpt.wait()
         self.logger.close()
