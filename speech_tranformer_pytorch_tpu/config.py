@@ -129,6 +129,7 @@ class DataConfig(_Replace):
     test_manifest: str = ""
     vocab_path: str = ""
     tokenizer: str = "char"            # char | bpe
+    pipeline: str = "python"           # python | grain (worker-pool IO)
     bpe_vocab_size: int = 5000
     max_source_frames: int = 3000      # drop/clip longer utterances
     max_target_len: int = 128

@@ -70,12 +70,22 @@ class Trainer:
         per_host_batch = max(t.batch_size // num_shards, 1)
         target_len = min(cfg.data.max_target_len,
                          cfg.model.max_target_positions)
-        self.batcher = BucketedBatcher(
-            self.train_ds, batch_size=per_host_batch,
-            bucket_boundaries=cfg.data.bucket_boundaries,
-            target_len=target_len, seed=t.seed,
-            shard_index=shard_index, num_shards=num_shards,
-            drop_remainder=True)
+        if cfg.data.pipeline == "grain":
+            from .data.grain_pipeline import GrainBucketedPipeline
+            self.batcher = GrainBucketedPipeline(
+                self.train_ds, batch_size=per_host_batch,
+                bucket_boundaries=cfg.data.bucket_boundaries,
+                target_len=target_len, seed=t.seed,
+                shard_index=shard_index, num_shards=num_shards,
+                num_workers=cfg.data.num_workers,
+                drop_remainder=True)
+        else:
+            self.batcher = BucketedBatcher(
+                self.train_ds, batch_size=per_host_batch,
+                bucket_boundaries=cfg.data.bucket_boundaries,
+                target_len=target_len, seed=t.seed,
+                shard_index=shard_index, num_shards=num_shards,
+                drop_remainder=True)
         if self.dev_ds is not None:
             self.dev_batcher = BucketedBatcher(
                 self.dev_ds, batch_size=per_host_batch,

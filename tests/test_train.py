@@ -106,3 +106,26 @@ def test_trainer_dev_cer(tmp_path):
     dev = tr.evaluate(decode_cer=True)
     assert "cer" in dev and 0.0 <= dev["cer"]
     assert dev["tokens"] > 0
+
+
+def test_trainer_grain_pipeline(tmp_path):
+    """Trainer with the grain-backed pipeline selected via config."""
+    from speech_tranformer_pytorch_tpu.data.prepare import prepare_synthetic
+    from speech_tranformer_pytorch_tpu.runner import Trainer
+
+    cfg = tiny_config()
+    cfg = cfg.replace(model=cfg.model.replace(
+        vocab_size=32, d_model=64, num_heads=2, d_ff=128,
+        num_encoder_layers=1, num_decoder_layers=1, dropout_rate=0.0,
+        subsample_channels=8))
+    cfg = cfg.replace(
+        train=cfg.train.replace(batch_size=4, num_epochs=2,
+                                checkpoint_every_steps=100),
+        data=cfg.data.replace(pipeline="grain", max_target_len=32,
+                              bucket_boundaries=(100, 200, 300, 512)))
+    paths = prepare_synthetic(str(tmp_path / "c"), num_train=8, num_dev=0,
+                              num_test=0, vocab_size=16, seed=0)
+    tr = Trainer(cfg, work_dir=str(tmp_path / "w"),
+                 train_manifest=paths["train"])
+    state = tr.train(max_steps=2)
+    assert int(state.step) == 2
