@@ -76,6 +76,7 @@ def beam_search(
     sos_id: int = SOS,
     eos_id: int = EOS,
     pad_id: int = PAD,
+    early_stop: bool = True,
 ) -> BeamResult:
     b = memory.shape[0]
     k = beam_size
@@ -155,9 +156,38 @@ def beam_search(
 
     init = (cur_tokens, alive_tokens, alive_scores,
             fin_tokens, fin_scores, fin_lens, cache)
-    (cur_tokens, alive_tokens, alive_scores,
-     fin_tokens, fin_scores, fin_lens, _), _ = jax.lax.scan(
-        step, init, jnp.arange(max_len, dtype=jnp.int32))
+    if early_stop:
+        # lax.while_loop with the standard bound-based termination: an
+        # alive hypothesis's best achievable penalized score is
+        # score/lp(max_len) (scores only decrease, lp only grows), so once
+        # every utterance's bound is <= its worst finished score (and the
+        # finished pool is full) no further step can change the result —
+        # exact, not approximate. Typical speech hypotheses finish well
+        # before max_len, so this cuts most decode steps.
+        max_lp = length_penalty(jnp.int32(max_len), alpha)
+
+        def cond(state):
+            i, carry = state
+            alive_scores_c = carry[2]
+            fin_scores_c = carry[4]
+            bound = jnp.max(alive_scores_c, axis=1) / max_lp        # [B]
+            worst_fin = jnp.min(fin_scores_c, axis=1)               # [B]
+            pool_full = worst_fin > NEG_INF / 2.0
+            work_left = jnp.logical_or(~pool_full, bound > worst_fin)
+            return jnp.logical_and(i < max_len, jnp.any(work_left))
+
+        def body(state):
+            i, carry = state
+            new_carry, _ = step(carry, i)
+            return i + 1, new_carry
+
+        _, (cur_tokens, alive_tokens, alive_scores,
+            fin_tokens, fin_scores, fin_lens, _) = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), init))
+    else:
+        (cur_tokens, alive_tokens, alive_scores,
+         fin_tokens, fin_scores, fin_lens, _), _ = jax.lax.scan(
+            step, init, jnp.arange(max_len, dtype=jnp.int32))
 
     # Merge still-alive beams (ran out of steps) into the pool, penalized at
     # full length, so every utterance yields >= 1 hypothesis.
@@ -183,12 +213,14 @@ def beam_decode(
     beam_size: int,
     max_len: int,
     alpha: float = 1.0,
+    early_stop: bool = True,
 ) -> BeamResult:
     """encode + beam search as one jittable program."""
     memory, mem_lens = model.apply(params, feats, frame_lens,
                                    method=SpeechTransformer.encode)
     return beam_search(model, params, memory, mem_lens,
-                       beam_size=beam_size, max_len=max_len, alpha=alpha)
+                       beam_size=beam_size, max_len=max_len, alpha=alpha,
+                       early_stop=early_stop)
 
 
 def best_hypotheses(result: BeamResult):

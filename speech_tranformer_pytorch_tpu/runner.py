@@ -153,6 +153,7 @@ class Trainer:
                         "loss": jax.device_get(metrics["loss"]),
                         "grad_norm": jax.device_get(metrics["grad_norm"]),
                         "accuracy": jax.device_get(metrics["accuracy"]),
+                        "lr": jax.device_get(metrics.get("lr", 0.0)),
                         "audio_sps": window_audio / max(dt, 1e-9),
                         "tokens_per_s": window_tokens / max(dt, 1e-9),
                         "epoch": epoch,

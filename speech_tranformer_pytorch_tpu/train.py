@@ -75,6 +75,9 @@ def make_train_step(
     if tx is None:
         tx = make_tx(cfg)
     smoothing = cfg.train.label_smoothing
+    from .ops.schedules import noam_schedule
+    lr_schedule = noam_schedule(cfg.model.d_model, cfg.train.warmup_steps,
+                                cfg.train.peak_lr_scale)
 
     def step(state: TrainState, batch: Batch, rng: jax.Array):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -101,6 +104,7 @@ def make_train_step(
             "grad_norm": grad_norm,
             "tokens": tokens,
             "accuracy": acc,
+            "lr": lr_schedule(state.step + 1),
             # audio seconds in this batch (frames * 10ms hop), for
             # audio-seconds/s throughput accounting (BASELINE.json metric).
             "audio_seconds": jnp.sum(batch.frame_lens).astype(jnp.float32)

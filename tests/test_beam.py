@@ -159,3 +159,20 @@ def test_trained_beam_recovers_transcripts(trained):
     )(state.params, batch.feats, batch.frame_lens)
     hyps = [[t for t in h if t != EOS] for h in best_hypotheses(result)]
     assert hyps == ds.transcripts
+
+
+def test_early_stop_equals_full_scan(trained):
+    """while_loop early termination must be exact vs the full scan."""
+    cfg, model, params, ds, batch = trained
+    full = jax.jit(lambda p, f, l: beam_decode(
+        model, p, f, l, beam_size=3, max_len=8, early_stop=False)
+    )(params, batch.feats, batch.frame_lens)
+    fast = jax.jit(lambda p, f, l: beam_decode(
+        model, p, f, l, beam_size=3, max_len=8, early_stop=True)
+    )(params, batch.feats, batch.frame_lens)
+    np.testing.assert_array_equal(np.asarray(fast.tokens),
+                                  np.asarray(full.tokens))
+    np.testing.assert_allclose(np.asarray(fast.scores),
+                               np.asarray(full.scores), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(fast.lengths),
+                                  np.asarray(full.lengths))
