@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
@@ -37,10 +38,12 @@ class SpeechTransformer(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         """Teacher-forced forward; returns logits [B, U, V] (f32)."""
-        memory, mem_lens = self.encoder(feats, frame_lens,
-                                        deterministic=deterministic)
-        return self.decoder(targets_in, tgt_lens, memory, mem_lens,
-                            deterministic=deterministic)
+        with jax.named_scope("encoder"):
+            memory, mem_lens = self.encoder(feats, frame_lens,
+                                            deterministic=deterministic)
+        with jax.named_scope("decoder"):
+            return self.decoder(targets_in, tgt_lens, memory, mem_lens,
+                                deterministic=deterministic)
 
     def encode(
         self, feats: jnp.ndarray, frame_lens: jnp.ndarray,

@@ -1,0 +1,69 @@
+"""Eval driver tests: manifest decode, CER, RTF, hypothesis file
+(reference ``recognize.py`` behavior — SURVEY.md §3.2)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from speech_tranformer_pytorch_tpu.config import tiny_config
+from speech_tranformer_pytorch_tpu.data.prepare import (prepare_synthetic,
+                                                        read_manifest)
+from speech_tranformer_pytorch_tpu.recognize import Recognizer, load_recognizer
+from speech_tranformer_pytorch_tpu.runner import Trainer
+from speech_tranformer_pytorch_tpu.utils.checkpoint import (Checkpointer,
+                                                            CheckpointState)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("rec")
+    cfg = tiny_config()
+    cfg = cfg.replace(model=cfg.model.replace(
+        vocab_size=32, d_model=96, num_heads=2, d_ff=192,
+        num_encoder_layers=2, num_decoder_layers=2, dropout_rate=0.0,
+        subsample_channels=8))
+    cfg = cfg.replace(train=cfg.train.replace(
+        batch_size=8, num_epochs=250, warmup_steps=50, log_every=1000,
+        checkpoint_every_steps=10_000))
+    paths = prepare_synthetic(str(tmp / "c"), num_train=8, num_dev=0,
+                              num_test=0, vocab_size=16, seed=2)
+    tr = Trainer(cfg, work_dir=str(tmp / "w"), train_manifest=paths["train"])
+    tr.train(max_steps=250)
+    return cfg, paths, str(tmp / "w"), tr.state.params
+
+
+def test_decode_manifest_cer_and_rtf(setup, tmp_path):
+    cfg, paths, work, params = setup
+    rec = Recognizer(cfg, params)
+    out_path = str(tmp_path / "hyps.jsonl")
+    scores = rec.decode_manifest(paths["train"], beam_size=3, max_len=8,
+                                 batch_size=4, out_path=out_path)
+    assert scores["utterances"] == 8
+    assert scores["cer"] <= 5.0, scores       # overfit => ~0 CER
+    assert scores["rtf"] > 0
+    hyps = [json.loads(l) for l in open(out_path)]
+    assert len(hyps) == 8
+    refs = {e["utt_id"]: e["tokens"] for e in read_manifest(paths["train"])}
+    match = sum(1 for h in hyps if refs[h["utt_id"]] == h["tokens"])
+    assert match >= 7
+
+
+def test_greedy_decode_manifest(setup):
+    cfg, paths, work, params = setup
+    rec = Recognizer(cfg, params)
+    scores = rec.decode_manifest(paths["train"], beam_size=1, max_len=8,
+                                 batch_size=8)
+    assert scores["cer"] <= 5.0
+
+
+def test_load_recognizer_from_checkpoint(setup):
+    cfg, paths, work, params = setup
+    rec = load_recognizer(cfg, os.path.join(work, "checkpoints"),
+                          vocab_path=paths["vocab"])
+    scores = rec.decode_manifest(paths["train"], beam_size=3, max_len=8,
+                                 batch_size=8)
+    assert scores["cer"] <= 5.0
+    assert rec.tokenizer is not None
