@@ -187,6 +187,23 @@ class ExperimentConfig:
         return dataclasses.replace(self, **kw)
 
 
+def config_from_dict(d: dict) -> ExperimentConfig:
+    """Inverse of ``ExperimentConfig.to_dict`` (e.g. work_dir/config.json)."""
+    sections = {
+        "features": FeatureConfig, "spec_augment": SpecAugmentConfig,
+        "model": ModelConfig, "train": TrainConfig, "data": DataConfig,
+        "decode": DecodeConfig, "mesh": MeshConfig,
+    }
+    kw: dict = {"name": d.get("name", "custom")}
+    for key, cls in sections.items():
+        if key in d:
+            fields = {f.name for f in dataclasses.fields(cls)}
+            payload = {k: (tuple(v) if isinstance(v, list) else v)
+                       for k, v in d[key].items() if k in fields}
+            kw[key] = cls(**payload)
+    return ExperimentConfig(**kw)
+
+
 def _nested_replace(cfg: ExperimentConfig, dotted: str, value: Any) -> ExperimentConfig:
     """Apply one ``section.field=value`` override."""
     parts = dotted.split(".")

@@ -30,7 +30,24 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
-    cfg = resolve_config(args)
+    # Prefer the exact training config saved by train_cli; --preset/--set
+    # remain as overrides on top (reference: recognize.py re-specifies the
+    # model dims on its CLI — here they come from the run itself).
+    saved = os.path.join(args.work_dir, "config.json")
+    if os.path.exists(saved):
+        import json as _json
+
+        from .config import apply_overrides, config_from_dict
+        from .cli_common import _parse_value
+        cfg = config_from_dict(_json.load(open(saved)))
+        overrides = {}
+        for kv in args.overrides:
+            k, v = kv.split("=", 1)
+            overrides[k] = _parse_value(v)
+        if overrides:
+            cfg = apply_overrides(cfg, overrides)
+    else:
+        cfg = resolve_config(args)
     manifest = args.manifest or os.path.join(args.data_dir,
                                              f"{args.split}.jsonl")
     from .recognize import load_recognizer

@@ -137,8 +137,9 @@ class Trainer:
         window_t0 = time.perf_counter()
         window_audio = 0.0
         window_tokens = 0.0
+        from .data.prefetch import prefetch
         for epoch in range(self.start_epoch, t.num_epochs):
-            for bi, abatch in enumerate(self.batcher.epoch(epoch)):
+            for bi, abatch in enumerate(prefetch(self.batcher.epoch(epoch))):
                 if epoch == self.start_epoch and bi < self.start_batch:
                     continue
                 self.state, metrics = self.step_fn(self.state, abatch, self.rng)

@@ -285,3 +285,24 @@ class TestAishellPrepare:
         # dev/test tokens may contain <unk> for chars unseen in train
         test = read_manifest(out["test"])
         assert len(test) == 1
+
+
+class TestPrefetch:
+    def test_order_preserved(self):
+        from speech_tranformer_pytorch_tpu.data.prefetch import prefetch
+        assert list(prefetch(range(100))) == list(range(100))
+
+    def test_exception_propagates(self):
+        from speech_tranformer_pytorch_tpu.data.prefetch import prefetch
+
+        def gen():
+            yield 1
+            raise RuntimeError("boom")
+        it = prefetch(gen())
+        assert next(it) == 1
+        with pytest.raises(RuntimeError):
+            list(it)
+
+    def test_empty(self):
+        from speech_tranformer_pytorch_tpu.data.prefetch import prefetch
+        assert list(prefetch([])) == []

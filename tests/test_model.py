@@ -126,3 +126,34 @@ class TestStepDecode:
         assert mem_lens.tolist() == [15, 11]
         # padded memory rows are zeroed
         assert np.abs(np.asarray(memory)[1, 11:]).max() == 0.0
+
+
+class TestPostLN:
+    def test_post_ln_forward_and_step_decode(self):
+        """paper-style post-LN variant: forward + KV-cache consistency."""
+        cfg = tiny_config().model.replace(
+            vocab_size=16, d_model=64, num_heads=2, d_ff=128,
+            num_encoder_layers=1, num_decoder_layers=1, dropout_rate=0.0,
+            subsample_channels=8, normalize_before=False)
+        model = SpeechTransformer(cfg)
+        rng = jax.random.PRNGKey(0)
+        feats = jax.random.normal(rng, (1, 64, 80))
+        flens = jnp.array([64])
+        tgt = jax.random.randint(rng, (1, 5), 4, 16)
+        tlens = jnp.array([5])
+        params = model.init({"params": rng}, feats, flens, tgt, tlens)
+        full = np.asarray(model.apply(params, feats, flens, tgt, tlens))
+        assert np.isfinite(full).all()
+
+        memory, mem_lens = model.apply(params, feats, flens,
+                                       method=SpeechTransformer.encode)
+        cache = model.apply(params, memory, 5,
+                            method=SpeechTransformer.init_cache)
+        outs = []
+        for i in range(5):
+            lg, cache = model.apply(params, tgt[:, i], jnp.int32(i), cache,
+                                    mem_lens,
+                                    method=SpeechTransformer.decode_step)
+            outs.append(np.asarray(lg))
+        stepped = np.stack(outs, 1)
+        np.testing.assert_allclose(stepped[0], full[0], rtol=2e-3, atol=2e-3)

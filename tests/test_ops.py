@@ -133,3 +133,14 @@ class TestMetrics:
     def test_wer(self):
         out = metrics.wer([["hello", "world"]], [["hello", "there"]])
         np.testing.assert_allclose(out["wer"], 50.0)
+
+
+def test_config_roundtrip_from_dict():
+    from speech_tranformer_pytorch_tpu.config import (config_from_dict,
+                                                      get_config)
+    cfg = get_config("large", **{"model.d_model": 640})
+    d = cfg.to_dict()
+    cfg2 = config_from_dict(d)
+    assert cfg2.model.d_model == 640
+    assert cfg2.config_hash() == cfg.config_hash()
+    assert cfg2.data.bucket_boundaries == cfg.data.bucket_boundaries
