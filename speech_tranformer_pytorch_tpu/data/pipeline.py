@@ -100,10 +100,20 @@ class BucketedBatcher:
         num_shards: int = 1,
         drop_remainder: bool = True,
         shuffle: bool = True,
+        max_frames_per_batch: int = 0,
     ):
         self.ds = ds
         self.batch_size = batch_size
         self.boundaries = list(bucket_boundaries)
+        # Frame-budget batching: each bucket's batch size is chosen so
+        # batch*boundary ~= max_frames_per_batch, equalizing padded compute
+        # per step across buckets (short utts -> big batches). 0 = fixed
+        # utterance-count batching (reference behavior).
+        if max_frames_per_batch > 0:
+            self.bucket_batch_sizes = [
+                max(max_frames_per_batch // bnd, 1) for bnd in self.boundaries]
+        else:
+            self.bucket_batch_sizes = [batch_size] * len(self.boundaries)
         self.target_len = target_len
         self.seed = seed
         self.shard_index = shard_index
@@ -129,7 +139,7 @@ class BucketedBatcher:
             e = self.ds.entries[idx]
             b = self._bucket_of(_frames_for_samples(e["num_samples"], self.ds.fcfg))
             buckets.setdefault(b, []).append(idx)
-            if len(buckets[b]) == self.batch_size:
+            if len(buckets[b]) == self.bucket_batch_sizes[b]:
                 yield self._make_batch(buckets.pop(b), b)
         if not self.drop_remainder:
             for b, idxs in sorted(buckets.items()):
@@ -140,7 +150,7 @@ class BucketedBatcher:
                     *, pad_to_batch: bool = False) -> AudioBatch:
         fcfg = self.ds.fcfg
         max_samples = _samples_for_frames(self.boundaries[bucket], fcfg)
-        bsz = self.batch_size if pad_to_batch else len(idxs)
+        bsz = self.bucket_batch_sizes[bucket] if pad_to_batch else len(idxs)
         audio = np.zeros((bsz, max_samples), np.float32)
         slens = np.zeros((bsz,), np.int32)
         tin = np.full((bsz, self.target_len), PAD, np.int32)

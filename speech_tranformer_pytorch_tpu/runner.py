@@ -85,7 +85,9 @@ class Trainer:
                 bucket_boundaries=cfg.data.bucket_boundaries,
                 target_len=target_len, seed=t.seed,
                 shard_index=shard_index, num_shards=num_shards,
-                drop_remainder=True)
+                drop_remainder=True,
+                max_frames_per_batch=(t.max_frames_per_batch // num_shards
+                                      if t.max_frames_per_batch else 0))
         if self.dev_ds is not None:
             self.dev_batcher = BucketedBatcher(
                 self.dev_ds, batch_size=per_host_batch,

@@ -306,3 +306,23 @@ class TestPrefetch:
     def test_empty(self):
         from speech_tranformer_pytorch_tpu.data.prefetch import prefetch
         assert list(prefetch([])) == []
+
+
+class TestFrameBudgetBatching:
+    def test_bucket_batch_sizes(self, tmp_path):
+        corpus = prepare_synthetic(str(tmp_path / "c"), num_train=20,
+                                   num_dev=0, num_test=0, vocab_size=16,
+                                   seed=4)
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16), fcfg)
+        batcher = BucketedBatcher(
+            ds, batch_size=4, bucket_boundaries=(40, 80, 200), target_len=8,
+            max_frames_per_batch=400, drop_remainder=False)
+        assert batcher.bucket_batch_sizes == [10, 5, 2]
+        seen = 0
+        for b in batcher.epoch(0):
+            bucket_frames = b.audio.shape[1]
+            seen += int(np.asarray(b.valid).sum())
+            # batch size respects the per-bucket cap
+            assert b.audio.shape[0] <= 10
+        assert seen == 20
