@@ -41,10 +41,13 @@ def _cdiv(a: int, b: int) -> int:
 
 def _fa_kernel(kv_len_ref,            # scalar-prefetch [B] int32
                q_ref, k_ref, v_ref,   # [1, 1, blk, D]
-               o_ref,                 # [1, 1, block_q, D]
-               m_ref, l_ref, acc_ref, # scratch
-               *, causal: bool, sm_scale: float, block_q: int,
-               block_k: int, kv_steps: int):
+               *refs,                 # o_ref [, lse_ref], m, l, acc scratch
+               causal: bool, sm_scale: float, block_q: int,
+               block_k: int, kv_steps: int, save_stats: bool = False):
+    if save_stats:
+        o_ref, lse_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        o_ref, m_ref, l_ref, acc_ref = refs
     b = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -104,6 +107,10 @@ def _fa_kernel(kv_len_ref,            # scalar-prefetch [B] int32
         l = l_ref[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        if save_stats:
+            # logsumexp per row; safe for fully-masked rows (l == 0).
+            m_col = m_ref[...][:, :1]
+            lse_ref[0, 0] = m_col + jnp.log(jnp.maximum(l, 1e-37))
 
 
 def _flash_fwd_bhtd(
@@ -115,7 +122,8 @@ def _flash_fwd_bhtd(
     causal: bool,
     block_q: int = 256,
     block_k: int = 512,
-) -> jnp.ndarray:
+    save_stats: bool = False,
+):
     b, h, tq, d = q.shape
     skv = k.shape[2]
     sm_scale = 1.0 / (d ** 0.5)
@@ -135,11 +143,20 @@ def _flash_fwd_bhtd(
 
     kernel = functools.partial(
         _fa_kernel, causal=causal, sm_scale=sm_scale,
-        block_q=block_q, block_k=block_k, kv_steps=kv_steps)
+        block_q=block_q, block_k=block_k, kv_steps=kv_steps,
+        save_stats=save_stats)
 
-    out = pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct((b, h, tq_p, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, block_q, d),
+                              lambda b_, h_, q_, k_, *_: (b_, h_, q_, 0))]
+    if save_stats:
+        out_shapes.append(jax.ShapeDtypeStruct((b, h, tq_p, 1), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, block_q, 1),
+                                      lambda b_, h_, q_, k_, *_: (b_, h_, q_, 0)))
+
+    outs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, tq_p, d), q.dtype),
+        out_shape=tuple(out_shapes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -151,8 +168,7 @@ def _flash_fwd_bhtd(
                 pl.BlockSpec((1, 1, block_k, d),
                              lambda b_, h_, q_, k_, *_: (b_, h_, k_, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, d),
-                                   lambda b_, h_, q_, k_, *_: (b_, h_, q_, 0)),
+            out_specs=tuple(out_specs),
             scratch_shapes=[
                 pltpu.VMEM((block_q, LANES), jnp.float32),   # m
                 pltpu.VMEM((block_q, LANES), jnp.float32),   # l
@@ -166,7 +182,237 @@ def _flash_fwd_bhtd(
         # Interpreter on CPU so golden tests run without a TPU (§4).
         interpret=(jax.default_backend() == "cpu"),
     )(kv_lengths.astype(jnp.int32), q, k, v)
-    return out[:, :, :tq, :]
+    if save_stats:
+        return outs[0][:, :, :tq, :], outs[1]   # lse stays padded (tq_p)
+    return outs[0][:, :, :tq, :]
+
+
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (dKV: q-dim innermost; dQ: kv-dim innermost) — see
+# boom_attention_tricks.md §7: recompute p from saved logsumexp instead of
+# storing the scores matrix; di = rowsum(o * do) precomputed once.
+# ---------------------------------------------------------------------------
+
+def _fa_bwd_dkv_kernel(kv_len_ref,
+                       q_ref, k_ref, v_ref, g_ref, lse_ref, di_ref,
+                       dk_ref, dv_ref,
+                       dk_acc, dv_acc,
+                       *, causal: bool, sm_scale: float, block_q: int,
+                       block_k: int, q_steps: int):
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    kv_len = kv_len_ref[b]
+    in_length = ki * block_k < kv_len
+    if causal:
+        # q tile contributes iff some of its rows are at/after this kv tile.
+        relevant = (qi + 1) * block_q - 1 >= ki * block_k
+        should_run = jnp.logical_and(in_length, relevant)
+    else:
+        should_run = in_length
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)          # [bq, D]
+        k = k_ref[0, 0].astype(jnp.float32)          # [bk, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+        g = g_ref[0, 0].astype(jnp.float32)          # dO [bq, D]
+        lse = lse_ref[0, 0]                          # [bq, 1]
+        di = di_ref[0, 0]                            # [bq, 1]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
+            + ki * block_k
+        mask = col < kv_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
+                + qi * block_q
+            mask = jnp.logical_and(mask, col <= row)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)   # [bq, bk]
+
+        dv_acc[...] += jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # p^T @ g [bk, D]
+
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [bq, bk]
+        ds = p * (dp - di)
+        dk_acc[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # ds^T @ q [bk, D]
+
+    @pl.when(qi == q_steps - 1)
+    def _store():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _fa_bwd_dq_kernel(kv_len_ref,
+                      q_ref, k_ref, v_ref, g_ref, lse_ref, di_ref,
+                      dq_ref,
+                      dq_acc,
+                      *, causal: bool, sm_scale: float, block_q: int,
+                      block_k: int, kv_steps: int):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    kv_len = kv_len_ref[b]
+    in_length = ki * block_k < kv_len
+    if causal:
+        below = (qi + 1) * block_q - 1 >= ki * block_k
+        should_run = jnp.logical_and(in_length, below)
+    else:
+        should_run = in_length
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        g = g_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]
+        di = di_ref[0, 0]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
+            + ki * block_k
+        mask = col < kv_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
+                + qi * block_q
+            mask = jnp.logical_and(mask, col <= row)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - di)
+        dq_acc[...] += jnp.dot(ds, k,
+                               preferred_element_type=jnp.float32) * sm_scale
+
+    @pl.when(ki == kv_steps - 1)
+    def _store():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, o, g, lse, kv_lengths, *, causal: bool,
+                    block_q: int = 256, block_k: int = 512,
+                    interpret=None):
+    b, h, tq, d = q.shape
+    skv = k.shape[2]
+    sm_scale = 1.0 / (d ** 0.5)
+    tq_p = _cdiv(tq, block_q) * block_q
+    skv_p = _cdiv(skv, block_k) * block_k
+    pad_q = ((0, 0), (0, 0), (0, tq_p - tq), (0, 0))
+    pad_kv = ((0, 0), (0, 0), (0, skv_p - skv), (0, 0))
+    qp = jnp.pad(q, pad_q) if tq_p != tq else q
+    gp = jnp.pad(g, pad_q) if tq_p != tq else g
+    op = jnp.pad(o, pad_q) if tq_p != tq else o
+    kp = jnp.pad(k, pad_kv) if skv_p != skv else k
+    vp = jnp.pad(v, pad_kv) if skv_p != skv else v
+
+    # di = rowsum(o * dO), f32 [B,H,Tq_p,1]
+    di = jnp.sum(op.astype(jnp.float32) * gp.astype(jnp.float32),
+                 axis=-1, keepdims=True)
+    # Padded q rows must not contribute to dk/dv: p==0 via lse=+big.
+    if tq_p != tq:
+        row_ok = (jnp.arange(tq_p) < tq)[None, None, :, None]
+        lse = jnp.where(row_ok, lse, 1e30)
+
+    interp = (jax.default_backend() == "cpu") if interpret is None else interpret
+    kv_steps = skv_p // block_k
+    q_steps = tq_p // block_q
+    lens = kv_lengths.astype(jnp.int32)
+
+    # ---- dKV: grid (B, H, KV, Q) — q innermost accumulation.
+    dk, dv = pl.pallas_call(
+        functools.partial(_fa_bwd_dkv_kernel, causal=causal,
+                          sm_scale=sm_scale, block_q=block_q,
+                          block_k=block_k, q_steps=q_steps),
+        out_shape=(jax.ShapeDtypeStruct(kp.shape, q.dtype),
+                   jax.ShapeDtypeStruct(vp.shape, q.dtype)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, kv_steps, q_steps),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda b_, h_, k_, q_, *_: (b_, h_, q_, 0)),  # q
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h_, k_, q_, *_: (b_, h_, k_, 0)),  # k
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h_, k_, q_, *_: (b_, h_, k_, 0)),  # v
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda b_, h_, k_, q_, *_: (b_, h_, q_, 0)),  # g
+                pl.BlockSpec((1, 1, block_q, 1),
+                             lambda b_, h_, k_, q_, *_: (b_, h_, q_, 0)),  # lse
+                pl.BlockSpec((1, 1, block_q, 1),
+                             lambda b_, h_, k_, q_, *_: (b_, h_, q_, 0)),  # di
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h_, k_, q_, *_: (b_, h_, k_, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h_, k_, q_, *_: (b_, h_, k_, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interp,
+    )(lens, qp, kp, vp, gp, lse, di)
+
+    # ---- dQ: grid (B, H, Q, KV) — kv innermost accumulation.
+    dq = pl.pallas_call(
+        functools.partial(_fa_bwd_dq_kernel, causal=causal,
+                          sm_scale=sm_scale, block_q=block_q,
+                          block_k=block_k, kv_steps=kv_steps),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, q_steps, kv_steps),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda b_, h_, q_, k_, *_: (b_, h_, q_, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h_, q_, k_, *_: (b_, h_, k_, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h_, q_, k_, *_: (b_, h_, k_, 0)),
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda b_, h_, q_, k_, *_: (b_, h_, q_, 0)),
+                pl.BlockSpec((1, 1, block_q, 1),
+                             lambda b_, h_, q_, k_, *_: (b_, h_, q_, 0)),
+                pl.BlockSpec((1, 1, block_q, 1),
+                             lambda b_, h_, q_, k_, *_: (b_, h_, q_, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda b_, h_, q_, k_, *_: (b_, h_, q_, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interp,
+    )(lens, qp, kp, vp, gp, lse, di)
+
+    return (dq[:, :, :tq, :], dk[:, :, :skv, :], dv[:, :, :skv, :])
 
 
 def _reference_bhtd(q, k, v, kv_lengths, *, causal):
@@ -192,16 +438,15 @@ def _flash_attention_bhtd(q, k, v, kv_lengths, causal):
 
 
 def _fwd(q, k, v, kv_lengths, causal):
-    o = _flash_fwd_bhtd(q, k, v, kv_lengths, causal=causal)
-    return o, (q, k, v, kv_lengths)
+    o, lse = _flash_fwd_bhtd(q, k, v, kv_lengths, causal=causal,
+                             save_stats=True)
+    return o, (q, k, v, o, lse, kv_lengths)
 
 
 def _bwd(causal, res, g):
-    q, k, v, kv_lengths = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _reference_bhtd(q_, k_, v_, kv_lengths,
-                                           causal=causal), q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, o, lse, kv_lengths = res
+    dq, dk, dv = _flash_bwd_impl(q, k, v, o, g, lse, kv_lengths,
+                                 causal=causal)
     return dq, dk, dv, None
 
 

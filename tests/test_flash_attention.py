@@ -103,3 +103,37 @@ def test_gradients_match_reference(rng):
     for a, b_ in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_causal_gradients_match_reference(rng):
+    b, t, h, d = 2, 256, 2, 64
+    q, k, v = _rand_qkv(rng, b, t, t, h, d)
+    lens = jnp.array([256, 150], jnp.int32)
+
+    def loss_flash(q, k, v):
+        o = mha_flash(q, k, v, kv_lengths=lens, causal=True)
+        w = (jnp.arange(t)[None, :, None, None] < lens[:, None, None, None])
+        return jnp.sum((o * w) ** 2)
+
+    def loss_ref(q, k, v):
+        mask = mask_ops.padding_attention_mask(t, lens, t) & \
+            mask_ops.causal_mask(t)[None, None]
+        o = dot_product_attention(q, k, v, mask_ops.mask_to_bias(mask))
+        w = (jnp.arange(t)[None, :, None, None] < lens[:, None, None, None])
+        return jnp.sum((o * w) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_zero_length_gradients_finite(rng):
+    b, t, s, h, d = 2, 128, 128, 1, 64
+    q, k, v = _rand_qkv(rng, b, t, s, h, d)
+    lens = jnp.array([128, 0], jnp.int32)
+    g = jax.grad(lambda q, k, v: jnp.sum(
+        mha_flash(q, k, v, kv_lengths=lens) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for x in g:
+        assert np.isfinite(np.asarray(x)).all()
