@@ -148,7 +148,9 @@ class Decoder(nn.Module):
             dtype=self.compute_dtype, name="pos_enc")
         layer_cls = DecoderLayer
         if cfg.remat:
-            layer_cls = nn.remat(DecoderLayer, static_argnums=(-1,),
+            # self=0, x=1, self_bias=2, memory=3, cross_bias=4,
+            # tgt_lens=5, mem_lens=6, deterministic=7
+            layer_cls = nn.remat(DecoderLayer, static_argnums=(7,),
                                  methods=["__call__"])
         self.layers = [
             layer_cls(cfg, self.compute_dtype, name=f"layer_{i}")

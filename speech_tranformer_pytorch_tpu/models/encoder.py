@@ -87,7 +87,8 @@ class Encoder(nn.Module):
 
         layer_cls = EncoderLayer
         if cfg.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(-1,))
+            # static_argnums counts self at 0: (x=1, bias=2, lengths=3, det=4)
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(4,))
         for i in range(cfg.num_encoder_layers):
             x = layer_cls(cfg, dtype, name=f"layer_{i}")(
                 x, bias, out_lens, deterministic)

@@ -157,3 +157,32 @@ class TestPostLN:
             outs.append(np.asarray(lg))
         stepped = np.stack(outs, 1)
         np.testing.assert_allclose(stepped[0], full[0], rtol=2e-3, atol=2e-3)
+
+
+def test_remat_config_runs_and_matches(rng):
+    """remat=True (Large/Sharded presets) must run and equal non-remat."""
+    base = tiny_config().model.replace(
+        vocab_size=16, d_model=64, num_heads=2, d_ff=128,
+        num_encoder_layers=2, num_decoder_layers=2, dropout_rate=0.0,
+        subsample_channels=8)
+    feats = jnp.asarray(rng.standard_normal((2, 64, 80)).astype(np.float32))
+    flens = jnp.array([64, 50])
+    tgt = jnp.asarray(rng.integers(4, 16, (2, 6)).astype(np.int32))
+    tlens = jnp.array([6, 4])
+
+    outs = {}
+    for remat in (False, True):
+        cfg = base.replace(remat=remat)
+        model = SpeechTransformer(cfg)
+        params = model.init({"params": jax.random.PRNGKey(0)}, feats, flens,
+                            tgt, tlens)
+        loss_fn = lambda p: jnp.sum(model.apply(p, feats, flens, tgt, tlens,
+                                                deterministic=False,
+                                                rngs={"dropout": jax.random.PRNGKey(1)}) ** 2)
+        outs[remat] = (float(loss_fn(params)),
+                       jax.grad(loss_fn)(params))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(outs[False][1]),
+                    jax.tree.leaves(outs[True][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -144,3 +144,24 @@ def test_config_roundtrip_from_dict():
     assert cfg2.model.d_model == 640
     assert cfg2.config_hash() == cfg.config_hash()
     assert cfg2.data.bucket_boundaries == cfg.data.bucket_boundaries
+
+
+def test_cli_resolve_config_with_data_dir(tmp_path):
+    """cli_common wires vocab size + manifest paths from --data-dir."""
+    import argparse
+    from speech_tranformer_pytorch_tpu.cli_common import (add_common_args,
+                                                          resolve_config)
+    from speech_tranformer_pytorch_tpu.data.prepare import prepare_synthetic
+    paths = prepare_synthetic(str(tmp_path), num_train=4, num_dev=2,
+                              num_test=2, vocab_size=16, seed=0)
+    ap = argparse.ArgumentParser()
+    add_common_args(ap)
+    args = ap.parse_args(["--preset", "tiny", "--data-dir", str(tmp_path),
+                          "--set", "train.batch_size=3"])
+    cfg = resolve_config(args)
+    assert cfg.data.train_manifest.endswith("train.jsonl")
+    assert cfg.data.vocab_path.endswith("vocab.json")
+    assert cfg.train.batch_size == 3
+    # vocab_size pulled from the built vocab (specials + seen chars)
+    from speech_tranformer_pytorch_tpu.data.tokenizer import load_tokenizer
+    assert cfg.model.vocab_size == load_tokenizer(paths["vocab"]).vocab_size
