@@ -94,6 +94,8 @@ class ModelConfig(_Replace):
                                        # measured faster at speech seq lens (<=1536),
                                        # enable for memory-bound long-context runs
     remat: bool = False            # jax.checkpoint each block (HBM for FLOPs)
+    scan_layers: bool = False      # nn.scan over encoder layers (fast compile
+                                   # for deep presets; stacked param layout)
 
     @property
     def head_dim(self) -> int:
@@ -255,7 +257,7 @@ def large_config() -> ExperimentConfig:
         model=ModelConfig(
             d_model=768, num_heads=12, d_ff=3072,
             num_encoder_layers=12, num_decoder_layers=6,
-            max_source_positions=3000, remat=True,
+            max_source_positions=3000, remat=True, scan_layers=True,
         ),
         spec_augment=SpecAugmentConfig(enabled=True),
         train=TrainConfig(batch_size=96, warmup_steps=8000),
@@ -284,7 +286,7 @@ def sharded_config() -> ExperimentConfig:
         model=ModelConfig(
             d_model=2048, num_heads=16, d_ff=8192,
             num_encoder_layers=12, num_decoder_layers=6,
-            subsample_channels=128, remat=True,
+            subsample_channels=128, remat=True, scan_layers=True,
         ),
         train=TrainConfig(batch_size=256, warmup_steps=12000),
         mesh=MeshConfig(data_axis=0, model_axis=4),

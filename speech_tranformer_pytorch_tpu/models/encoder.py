@@ -59,6 +59,25 @@ class EncoderLayer(nn.Module):
         return x
 
 
+class _ScanEncoderBody(nn.Module):
+    """(carry, out) adapter around EncoderLayer for nn.scan; deterministic
+    is baked in as an attribute so it stays static under remat."""
+
+    cfg: ModelConfig
+    dtype: jnp.dtype
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x, bias, lengths):
+        layer_cls = EncoderLayer
+        if self.cfg.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(4,),
+                                 prevent_cse=False)
+        y = layer_cls(self.cfg, self.dtype, name="layer")(
+            x, bias, lengths, self.deterministic)
+        return y, None
+
+
 class Encoder(nn.Module):
     cfg: ModelConfig
 
@@ -85,13 +104,29 @@ class Encoder(nn.Module):
         bias = mask_ops.mask_to_bias(
             mask_ops.self_attention_mask(out_lens, t), jnp.float32)
 
-        layer_cls = EncoderLayer
-        if cfg.remat:
-            # static_argnums counts self at 0: (x=1, bias=2, lengths=3, det=4)
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(4,))
-        for i in range(cfg.num_encoder_layers):
-            x = layer_cls(cfg, dtype, name=f"layer_{i}")(
-                x, bias, out_lens, deterministic)
+        if getattr(cfg, "scan_layers", False):
+            # Weight-stacked lax.scan over layers: one compiled layer body
+            # instead of N inlined copies — shrinks HLO/compile time ~N x
+            # for the deep presets (docs/ROADMAP.md "Compile-time lever").
+            scanned = nn.scan(
+                _ScanEncoderBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=cfg.num_encoder_layers,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )
+            x, _ = scanned(cfg, dtype, deterministic, name="layers")(
+                x, bias, out_lens)
+        else:
+            layer_cls = EncoderLayer
+            if cfg.remat:
+                # static_argnums counts self at 0: (x=1, bias=2, lengths=3,
+                # det=4)
+                layer_cls = nn.remat(EncoderLayer, static_argnums=(4,))
+            for i in range(cfg.num_encoder_layers):
+                x = layer_cls(cfg, dtype, name=f"layer_{i}")(
+                    x, bias, out_lens, deterministic)
 
         x = LayerNorm(dtype, name="final_norm")(x)
         # Zero padded positions so downstream cross-attention stats are clean.

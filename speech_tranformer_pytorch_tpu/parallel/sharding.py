@@ -57,9 +57,12 @@ def _path_str(path) -> str:
 def param_spec(path_str: str, leaf) -> P:
     for pattern, spec in _RULES:
         if re.match(pattern, path_str):
-            # Guard: spec rank must match leaf rank (e.g. fused kernels).
             if leaf.ndim == len(spec):
                 return spec
+            # nn.scan-stacked layout (model.scan_layers): same kernel with a
+            # leading layer axis — replicate that axis, shard the rest.
+            if "/layers/" in path_str and leaf.ndim == len(spec) + 1:
+                return P(None, *spec)
     return P()
 
 

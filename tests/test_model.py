@@ -186,3 +186,37 @@ def test_remat_config_runs_and_matches(rng):
                     jax.tree.leaves(outs[True][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_scan_layers_matches_loop(rng):
+    """nn.scan-stacked encoder == python-loop encoder given identical
+    (transplanted) parameters."""
+    import flax
+    base = tiny_config().model.replace(
+        vocab_size=16, d_model=64, num_heads=2, d_ff=128,
+        num_encoder_layers=3, num_decoder_layers=1, dropout_rate=0.0,
+        subsample_channels=8)
+    feats = jnp.asarray(rng.standard_normal((2, 64, 80)).astype(np.float32))
+    flens = jnp.array([64, 50])
+    tgt = jnp.asarray(rng.integers(4, 16, (2, 6)).astype(np.int32))
+    tlens = jnp.array([6, 4])
+
+    loop_model = SpeechTransformer(base.replace(scan_layers=False))
+    scan_model = SpeechTransformer(base.replace(scan_layers=True, remat=True))
+    lp = loop_model.init({"params": jax.random.PRNGKey(0)}, feats, flens,
+                         tgt, tlens)
+    sp = scan_model.init({"params": jax.random.PRNGKey(0)}, feats, flens,
+                         tgt, tlens)
+    enc = lp["params"]["encoder"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[enc[f"layer_{i}"] for i in range(3)])
+    new_params = {"params": {
+        **sp["params"],
+        "encoder": {**sp["params"]["encoder"], "layers": {"layer": stacked},
+                    "subsample": enc["subsample"],
+                    "final_norm": enc["final_norm"]},
+        "decoder": lp["params"]["decoder"]}}
+    out_loop = np.asarray(loop_model.apply(lp, feats, flens, tgt, tlens))
+    out_scan = np.asarray(scan_model.apply(new_params, feats, flens, tgt,
+                                           tlens))
+    np.testing.assert_allclose(out_scan, out_loop, rtol=1e-5, atol=1e-5)

@@ -190,3 +190,25 @@ def test_sharded_audio_train_step(cfg):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_param_spec_stacked_scan_layout():
+    """scan_layers stacked kernels get a leading replicated layer axis."""
+    x4 = jnp.zeros((12, 4, 4, 16))    # [layers, d, H, Dh]
+    x3 = jnp.zeros((12, 4, 16))       # [layers, d, ff]
+    assert param_spec("params/encoder/layers/layer/self_attn/q/kernel", x4) \
+        == P(None, None, "model", None)
+    assert param_spec("params/encoder/layers/layer/FeedForward_0/Dense_0/kernel", x3) \
+        == P(None, None, "model")
+
+
+def test_scan_layers_tp_grads_match(cfg, batch):
+    """DPxTP gradients with the scanned encoder == unsharded scanned."""
+    scfg = cfg.replace(model=cfg.model.replace(scan_layers=True))
+    state = create_train_state(scfg, jax.random.PRNGKey(0), batch)
+    ref_loss, ref_grads = jax.jit(
+        lambda p, b: _loss_and_grads(scfg, p, b))(state.params, batch)
+    mesh = make_mesh(model_axis_size=2)
+    loss, grads = _sharded_grads(scfg, mesh, state, batch)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    _assert_grads_close(ref_grads, grads)
