@@ -98,9 +98,18 @@ class Recognizer:
         # warmup compile excluded from RTF
         t_decode = 0.0
         for abatch, rows in _batches_with_rows(batcher):
+            batch_max_len = max_len
+            if d.max_len_ratio > 0:
+                # Cap decode steps by the bucket's subsampled frame count
+                # (shape-static per bucket => at most one extra compile per
+                # bucket; reference caps per utterance in its python loop).
+                enc_frames = int(abatch.audio.shape[1]
+                                 // self.cfg.features.frame_shift) // 4
+                batch_max_len = max(4, min(
+                    max_len, int(d.max_len_ratio * enc_frames)))
             t0 = time.perf_counter()
             out = self.decode_batch(abatch, beam_size=beam_size,
-                                    max_len=max_len, alpha=alpha)
+                                    max_len=batch_max_len, alpha=alpha)
             t1 = time.perf_counter()
             t_decode += t1 - t0
             for row, idx in enumerate(rows):

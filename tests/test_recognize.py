@@ -67,3 +67,13 @@ def test_load_recognizer_from_checkpoint(setup):
                                  batch_size=8)
     assert scores["cer"] <= 5.0
     assert rec.tokenizer is not None
+
+
+def test_max_len_ratio_caps_decode(setup):
+    cfg, paths, work, params = setup
+    cfg2 = cfg.replace(decode=cfg.decode.replace(max_len_ratio=0.6,
+                                                 max_decode_len=32))
+    rec = Recognizer(cfg2, params)
+    scores = rec.decode_manifest(paths["train"], beam_size=3, batch_size=8)
+    # still decodes correctly (overfit corpus) with capped lengths
+    assert scores["cer"] <= 5.0
