@@ -54,4 +54,4 @@ def resolve_config(args) -> ExperimentConfig:
         cfg = apply_overrides(cfg, data_overrides)
     if overrides:
         cfg = apply_overrides(cfg, overrides)
-    return cfg
+    return cfg.validate()

@@ -188,6 +188,34 @@ class ExperimentConfig:
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)
 
+    def validate(self) -> "ExperimentConfig":
+        """Raise ValueError on inconsistent settings; returns self."""
+        m, d, t = self.model, self.data, self.train
+        errs = []
+        if m.d_model % m.num_heads != 0:
+            errs.append(f"d_model {m.d_model} not divisible by num_heads "
+                        f"{m.num_heads}")
+        if m.vocab_size < 5:
+            errs.append(f"vocab_size {m.vocab_size} too small (needs 4 "
+                        f"specials + >=1 token)")
+        if d.max_target_len > m.max_target_positions:
+            errs.append(f"data.max_target_len {d.max_target_len} exceeds "
+                        f"model.max_target_positions {m.max_target_positions}"
+                        f" (targets would overflow the positional table)")
+        if d.bucket_boundaries and max(d.bucket_boundaries) < d.max_source_frames:
+            errs.append(f"largest bucket boundary "
+                        f"{max(d.bucket_boundaries)} < data.max_source_frames "
+                        f"{d.max_source_frames}: long utterances would be "
+                        f"clipped below the configured max")
+        if self.decode.beam_size < 1:
+            errs.append("decode.beam_size must be >= 1")
+        if self.mesh.model_axis >= 1 and m.num_heads % self.mesh.model_axis != 0:
+            errs.append(f"num_heads {m.num_heads} not divisible by TP degree "
+                        f"{self.mesh.model_axis}")
+        if errs:
+            raise ValueError("invalid config:\n  - " + "\n  - ".join(errs))
+        return self
+
 
 def config_from_dict(d: dict) -> ExperimentConfig:
     """Inverse of ``ExperimentConfig.to_dict`` (e.g. work_dir/config.json)."""
@@ -239,7 +267,7 @@ def tiny_config() -> ExperimentConfig:
             use_flash_attention=False, dtype="float32",
         ),
         train=TrainConfig(batch_size=8, warmup_steps=100, grad_clip_norm=5.0),
-        data=DataConfig(max_target_len=32,
+        data=DataConfig(max_target_len=32, max_source_frames=512,
                         bucket_boundaries=(100, 200, 300, 512)),
         decode=DecodeConfig(beam_size=5, max_decode_len=32),
     )

@@ -165,3 +165,16 @@ def test_cli_resolve_config_with_data_dir(tmp_path):
     # vocab_size pulled from the built vocab (specials + seen chars)
     from speech_tranformer_pytorch_tpu.data.tokenizer import load_tokenizer
     assert cfg.model.vocab_size == load_tokenizer(paths["vocab"]).vocab_size
+
+
+def test_config_validate():
+    from speech_tranformer_pytorch_tpu.config import get_config
+    # all presets validate
+    for name in ("tiny", "base", "large", "librispeech", "sharded"):
+        get_config(name).validate()
+    cfg = get_config("base", **{"model.num_heads": 7})
+    with pytest.raises(ValueError, match="not divisible"):
+        cfg.validate()
+    cfg = get_config("base", **{"data.max_target_len": 9999})
+    with pytest.raises(ValueError, match="positional table"):
+        cfg.validate()
