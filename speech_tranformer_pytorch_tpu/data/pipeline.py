@@ -128,23 +128,39 @@ class BucketedBatcher:
         return len(self.boundaries) - 1
 
     def epoch(self, epoch_index: int) -> Iterator[AudioBatch]:
+        """Host-sharded epoch stream.
+
+        Multi-host safety: every host walks the SAME shuffled global order
+        and forms the SAME global batch boundaries (global batch =
+        per-host batch × num_shards); each host then materializes only its
+        interleaved slice of each global batch. All hosts therefore yield
+        the SAME number of batches per epoch — per-shard bucketing would
+        not (bucket fills drift across shards), deadlocking synchronous
+        collectives (SURVEY.md §7 hard part 4).
+        """
         order = np.arange(len(self.ds))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + epoch_index)
             rng.shuffle(order)
-        order = order[self.shard_index::self.num_shards]
 
         buckets: Dict[int, List[int]] = {}
         for idx in order:
             e = self.ds.entries[idx]
             b = self._bucket_of(_frames_for_samples(e["num_samples"], self.ds.fcfg))
             buckets.setdefault(b, []).append(idx)
-            if len(buckets[b]) == self.bucket_batch_sizes[b]:
-                yield self._make_batch(buckets.pop(b), b)
+            if len(buckets[b]) == self.bucket_batch_sizes[b] * self.num_shards:
+                global_idxs = buckets.pop(b)
+                yield self._make_batch(
+                    global_idxs[self.shard_index::self.num_shards], b)
         if not self.drop_remainder:
-            for b, idxs in sorted(buckets.items()):
-                if idxs:
-                    yield self._make_batch(idxs, b, pad_to_batch=True)
+            for b, global_idxs in sorted(buckets.items()):
+                if global_idxs:
+                    # all hosts see the same non-empty global remainder =>
+                    # same batch count; a host's slice may be empty -> all
+                    # padding rows (valid=False).
+                    yield self._make_batch(
+                        global_idxs[self.shard_index::self.num_shards], b,
+                        pad_to_batch=True)
 
     def _make_batch(self, idxs: List[int], bucket: int,
                     *, pad_to_batch: bool = False) -> AudioBatch:

@@ -326,3 +326,48 @@ class TestFrameBudgetBatching:
             # batch size respects the per-bucket cap
             assert b.audio.shape[0] <= 10
         assert seen == 20
+
+
+class TestMultiHostBatchParity:
+    """Multi-host safety: all shards must yield the SAME number of batches
+    per epoch (sync-collective deadlock otherwise)."""
+
+    def test_equal_batch_counts_across_shards(self, tmp_path):
+        corpus = prepare_synthetic(str(tmp_path / "c"), num_train=23,
+                                   num_dev=0, num_test=0, vocab_size=16,
+                                   seed=9)
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16), fcfg)
+        counts, seen = [], set()
+        for shard in range(4):
+            batcher = BucketedBatcher(
+                ds, batch_size=2, bucket_boundaries=(40, 80, 200),
+                target_len=8, seed=3, shard_index=shard, num_shards=4,
+                drop_remainder=False)
+            n = 0
+            for b in batcher.epoch(0):
+                n += 1
+                for row in range(b.audio.shape[0]):
+                    if bool(b.valid[row]):
+                        key = (float(np.asarray(b.audio[row]).sum()),
+                               int(b.sample_lens[row]))
+                        assert key not in seen, "duplicate across shards"
+                        seen.add(key)
+            counts.append(n)
+        assert len(set(counts)) == 1, f"shards disagree on batch count: {counts}"
+        assert len(seen) == 23
+
+    def test_equal_counts_with_drop_remainder(self, tmp_path):
+        corpus = prepare_synthetic(str(tmp_path / "c2"), num_train=17,
+                                   num_dev=0, num_test=0, vocab_size=16,
+                                   seed=10)
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16), fcfg)
+        counts = []
+        for shard in range(2):
+            batcher = BucketedBatcher(
+                ds, batch_size=3, bucket_boundaries=(40, 80, 200),
+                target_len=8, seed=3, shard_index=shard, num_shards=2,
+                drop_remainder=True)
+            counts.append(sum(1 for _ in batcher.epoch(0)))
+        assert counts[0] == counts[1]
