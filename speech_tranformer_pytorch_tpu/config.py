@@ -117,6 +117,10 @@ class TrainConfig(_Replace):
     grad_clip_norm: float = 5.0
     label_smoothing: float = 0.1
     weight_decay: float = 0.0
+    mixed_precision: bool = True       # cast f32 master params to model.dtype
+                                       # ONCE per step for compute (no-op when
+                                       # model.dtype is float32); optimizer
+                                       # state and checkpoints stay f32
     seed: int = 0
     log_every: int = 100
     checkpoint_every_steps: int = 1000

@@ -123,7 +123,7 @@ def make_sharded_train_step(cfg, mesh: Mesh, *, donate: bool = True):
     inserted by GSPMD — no hand-written communication (SURVEY.md §5
     "Distributed communication backend").
     """
-    from ..train import make_tx
+    from ..train import cast_params, compute_cast_dtype, make_tx
 
     tx = make_tx(cfg)
     from ..models import SpeechTransformer
@@ -132,13 +132,14 @@ def make_sharded_train_step(cfg, mesh: Mesh, *, donate: bool = True):
 
     model = SpeechTransformer(cfg.model)
     smoothing = cfg.train.label_smoothing
+    cast_dt = compute_cast_dtype(cfg)
 
     def step(state: TrainState, batch: Batch, rng: jax.Array):
         dropout_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
             logits = model.apply(
-                params, batch.feats, batch.frame_lens,
+                cast_params(params, cast_dt), batch.feats, batch.frame_lens,
                 batch.targets_in, batch.target_lens,
                 deterministic=False, rngs={"dropout": dropout_rng})
             loss, tokens = label_smoothed_cross_entropy(
@@ -187,12 +188,13 @@ def make_sharded_audio_train_step(cfg, mesh: Mesh, *, donate: bool = True):
     from ..data.pipeline import make_preprocess_fn
     from ..models import SpeechTransformer
     from ..ops.losses import label_smoothed_cross_entropy, token_accuracy
-    from ..train import make_tx
+    from ..train import cast_params, compute_cast_dtype, make_tx
 
     tx = make_tx(cfg)
     model = SpeechTransformer(cfg.model)
     preprocess = make_preprocess_fn(cfg.features, cfg.spec_augment)
     smoothing = cfg.train.label_smoothing
+    cast_dt = compute_cast_dtype(cfg)
 
     def step(state: TrainState, abatch, rng: jax.Array):
         aug_key, dropout_rng = jax.random.split(
@@ -201,7 +203,7 @@ def make_sharded_audio_train_step(cfg, mesh: Mesh, *, donate: bool = True):
 
         def loss_fn(params):
             logits = model.apply(
-                params, batch.feats, batch.frame_lens,
+                cast_params(params, cast_dt), batch.feats, batch.frame_lens,
                 batch.targets_in, batch.target_lens,
                 deterministic=False, rngs={"dropout": dropout_rng})
             loss, tokens = label_smoothed_cross_entropy(

@@ -32,7 +32,10 @@ class Recognizer:
     def __init__(self, cfg: ExperimentConfig, params, *,
                  tokenizer=None):
         self.cfg = cfg
-        self.params = params
+        # Inference never updates params: cast the f32 checkpoint tree to the
+        # compute dtype ONCE at load, halving weight HBM reads per decode step.
+        from .train import cast_params, compute_cast_dtype
+        self.params = cast_params(params, compute_cast_dtype(cfg))
         self.model = SpeechTransformer(cfg.model)
         self.tokenizer = tokenizer
         self.preprocess = jax.jit(make_preprocess_fn(cfg.features, None))

@@ -129,3 +129,32 @@ def test_trainer_grain_pipeline(tmp_path):
                  train_manifest=paths["train"])
     state = tr.train(max_steps=2)
     assert int(state.step) == 2
+
+
+def test_mixed_precision_master_copy(overfit_setup):
+    """train.mixed_precision: params/opt-state stay f32 masters; the bf16
+    compute path tracks the full-precision path closely for a few steps."""
+    cfg, ds, batch = overfit_setup
+    cfg_bf16 = cfg.replace(model=cfg.model.replace(dtype="bfloat16"))
+    cfg_mp = cfg_bf16.replace(train=cfg_bf16.train.replace(mixed_precision=True))
+    cfg_full = cfg_bf16.replace(train=cfg_bf16.train.replace(mixed_precision=False))
+
+    rng = jax.random.PRNGKey(7)
+    state_mp = create_train_state(cfg_mp, jax.random.PRNGKey(0), batch)
+    state_full = create_train_state(cfg_full, jax.random.PRNGKey(0), batch)
+    step_mp = make_train_step(cfg_mp, donate=False)
+    step_full = make_train_step(cfg_full, donate=False)
+
+    for _ in range(5):
+        state_mp, m_mp = step_mp(state_mp, batch, rng)
+        state_full, m_full = step_full(state_full, batch, rng)
+
+    # Masters stay f32 after updates.
+    for leaf in jax.tree.leaves(state_mp.params):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    loss_mp, loss_full = float(m_mp["loss"]), float(m_full["loss"])
+    assert np.isfinite(loss_mp) and np.isfinite(loss_full)
+    # Same model family, same data: bf16-weight compute drifts only slightly
+    # from f32-weight compute over 5 steps.
+    assert abs(loss_mp - loss_full) / max(abs(loss_full), 1e-6) < 0.05, (
+        loss_mp, loss_full)
