@@ -88,6 +88,7 @@ class ModelConfig(_Replace):
     max_source_positions: int = 3000
     max_target_positions: int = 512
     share_embedding: bool = True   # tie decoder embed and output projection
+    fused_qkv: bool = True         # self-attn q/k/v as one [d,3,H,Dh] matmul
     normalize_before: bool = True  # pre-LN (repo-family default); False = paper post-LN
     dtype: str = "bfloat16"        # activation dtype (params stay f32)
     use_flash_attention: bool = False  # Pallas flash-attn; XLA fused attention
@@ -121,6 +122,11 @@ class TrainConfig(_Replace):
                                        # ONCE per step for compute (no-op when
                                        # model.dtype is float32); optimizer
                                        # state and checkpoints stay f32
+    dropout_rng_impl: str = "rbg"      # PRNG for dropout masks: "rbg" uses the
+                                       # TPU-native XLA RngBitGenerator (bulk
+                                       # threefry bits measured 42% of the base
+                                       # train step; rbg removes ~85% of that);
+                                       # "threefry" = JAX default
     seed: int = 0
     log_every: int = 100
     checkpoint_every_steps: int = 1000

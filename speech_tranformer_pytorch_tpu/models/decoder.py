@@ -39,7 +39,8 @@ class DecoderLayer(nn.Module):
         self.self_attn = MultiHeadAttention(
             cfg.num_heads, cfg.d_model,
             dropout_rate=cfg.attention_dropout_rate, dtype=self.dtype,
-            use_flash=cfg.use_flash_attention, name="self_attn")
+            use_flash=cfg.use_flash_attention, fused_qkv=cfg.fused_qkv,
+            name="self_attn")
         self.cross_attn = MultiHeadAttention(
             cfg.num_heads, cfg.d_model,
             dropout_rate=cfg.attention_dropout_rate, dtype=self.dtype,
@@ -103,7 +104,9 @@ class DecoderLayer(nn.Module):
         max_len = cache["self_k"].shape[1]
 
         def self_attend(h):
-            k_new, v_new = self.self_attn.project_kv(h)          # [B,1,H,D]
+            # One fused matmul gives q of the current token AND its k/v
+            # cache entries (three matmuls on the unfused path).
+            q_new, k_new, v_new = self.self_attn.project_qkv(h)  # [B,1,H,D]
             self_k = jax.lax.dynamic_update_slice_in_dim(
                 cache["self_k"], k_new.astype(cache["self_k"].dtype), index, axis=1)
             self_v = jax.lax.dynamic_update_slice_in_dim(
@@ -111,7 +114,7 @@ class DecoderLayer(nn.Module):
             # Mask future (unwritten) cache slots.
             pos_ok = jnp.arange(max_len) <= index                 # [max_len]
             bias = mask_ops.mask_to_bias(pos_ok)[None, None, None, :]
-            out = self.self_attn.attend(h, self_k, self_v, bias)
+            out = self.self_attn.attend(h, self_k, self_v, bias, q=q_new)
             return out, self_k, self_v
 
         def cross_attend(h):

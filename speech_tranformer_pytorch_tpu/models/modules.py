@@ -111,26 +111,49 @@ def dot_product_attention(
 
 
 class MultiHeadAttention(nn.Module):
-    """Self/cross MHA with separate q/kv inputs and additive bias mask."""
+    """Self/cross MHA with separate q/kv inputs and additive bias mask.
+
+    ``fused_qkv`` (self-attention only): one [d_model, 3, H, Dh] kernel
+    replaces the three q/k/v projections — a single larger MXU matmul and
+    one kernel launch instead of three (and one matmul per decode step
+    instead of three on the KV-cache path).
+    """
 
     num_heads: int
     d_model: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    fused_qkv: bool = False
 
     def setup(self):
         h, d = self.num_heads, self.d_model
         self.head_dim = d // h
         dense = lambda name: nn.DenseGeneral(
             (h, self.head_dim), axis=-1, dtype=self.dtype, name=name)
-        self.q_proj = dense("q")
-        self.k_proj = dense("k")
-        self.v_proj = dense("v")
+        if self.fused_qkv:
+            self.qkv_proj = nn.DenseGeneral(
+                (3, h, self.head_dim), axis=-1, dtype=self.dtype, name="qkv")
+        else:
+            self.q_proj = dense("q")
+            self.k_proj = dense("k")
+            self.v_proj = dense("v")
         self.out_proj = nn.DenseGeneral(
             d, axis=(-2, -1), dtype=self.dtype, name="out")
 
+    def project_qkv(
+        self, x: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """q, k, v of a single input (the self-attention projection)."""
+        if self.fused_qkv:
+            qkv = self.qkv_proj(x)                    # [..., 3, H, Dh]
+            return qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        return self.q_proj(x), self.k_proj(x), self.v_proj(x)
+
     def project_kv(self, kv_in: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.fused_qkv:
+            _, k, v = self.project_qkv(kv_in)
+            return k, v
         return self.k_proj(kv_in), self.v_proj(kv_in)
 
     def attend(
@@ -144,8 +167,11 @@ class MultiHeadAttention(nn.Module):
         causal: bool = False,
         q_lengths: Optional[jnp.ndarray] = None,
         kv_lengths: Optional[jnp.ndarray] = None,
+        q: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        q = self.q_proj(q_in)
+        if q is None:
+            q = (self.project_qkv(q_in)[0] if self.fused_qkv
+                 else self.q_proj(q_in))
         rng = None
         if not deterministic and self.dropout_rate > 0.0:
             rng = self.make_rng("dropout")
@@ -176,10 +202,13 @@ class MultiHeadAttention(nn.Module):
         q_lengths: Optional[jnp.ndarray] = None,
         kv_lengths: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        k, v = self.project_kv(kv_in)
+        if self.fused_qkv and q_in is kv_in:
+            q, k, v = self.project_qkv(q_in)
+        else:
+            q, (k, v) = None, self.project_kv(kv_in)
         return self.attend(
             q_in, k, v, bias, deterministic=deterministic, causal=causal,
-            q_lengths=q_lengths, kv_lengths=kv_lengths,
+            q_lengths=q_lengths, kv_lengths=kv_lengths, q=q,
         )
 
 

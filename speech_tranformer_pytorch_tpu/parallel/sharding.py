@@ -31,6 +31,9 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 # "params/encoder/layer_0/self_attn/q/kernel".
 _RULES: Tuple[Tuple[str, P], ...] = (
     (r".*/(self_attn|cross_attn)/(q|k|v)/kernel$", P(None, MODEL_AXIS, None)),
+    # fused_qkv kernel (d_model, 3, H, Dh): shard the head axis.
+    (r".*/self_attn/qkv/kernel$", P(None, None, MODEL_AXIS, None)),
+    (r".*/self_attn/qkv/bias$", P(None, MODEL_AXIS, None)),
     (r".*/(self_attn|cross_attn)/out/kernel$", P(MODEL_AXIS, None, None)),
     # FeedForward submodules are Dense_0 (in->hidden) and Dense_1 (hidden->out)
     (r".*/FeedForward_\d+/Dense_0/kernel$", P(None, MODEL_AXIS)),
@@ -123,7 +126,8 @@ def make_sharded_train_step(cfg, mesh: Mesh, *, donate: bool = True):
     inserted by GSPMD — no hand-written communication (SURVEY.md §5
     "Distributed communication backend").
     """
-    from ..train import cast_params, compute_cast_dtype, make_tx
+    from ..train import (cast_params, compute_cast_dtype, dropout_key,
+                         make_tx)
 
     tx = make_tx(cfg)
     from ..models import SpeechTransformer
@@ -133,9 +137,10 @@ def make_sharded_train_step(cfg, mesh: Mesh, *, donate: bool = True):
     model = SpeechTransformer(cfg.model)
     smoothing = cfg.train.label_smoothing
     cast_dt = compute_cast_dtype(cfg)
+    rng_impl = cfg.train.dropout_rng_impl
 
     def step(state: TrainState, batch: Batch, rng: jax.Array):
-        dropout_rng = jax.random.fold_in(rng, state.step)
+        dropout_rng = dropout_key(rng, state.step, rng_impl)
 
         def loss_fn(params):
             logits = model.apply(
@@ -188,17 +193,20 @@ def make_sharded_audio_train_step(cfg, mesh: Mesh, *, donate: bool = True):
     from ..data.pipeline import make_preprocess_fn
     from ..models import SpeechTransformer
     from ..ops.losses import label_smoothed_cross_entropy, token_accuracy
-    from ..train import cast_params, compute_cast_dtype, make_tx
+    from ..train import (cast_params, compute_cast_dtype, make_tx,
+                         rekey_dropout)
 
     tx = make_tx(cfg)
     model = SpeechTransformer(cfg.model)
     preprocess = make_preprocess_fn(cfg.features, cfg.spec_augment)
     smoothing = cfg.train.label_smoothing
     cast_dt = compute_cast_dtype(cfg)
+    rng_impl = cfg.train.dropout_rng_impl
 
     def step(state: TrainState, abatch, rng: jax.Array):
         aug_key, dropout_rng = jax.random.split(
             jax.random.fold_in(rng, state.step))
+        dropout_rng = rekey_dropout(dropout_rng, rng_impl)
         batch = preprocess(abatch, aug_key)
 
         def loss_fn(params):

@@ -85,6 +85,35 @@ def cast_params(params: Any, dtype) -> Any:
         params)
 
 
+def dropout_key(rng: jax.Array, step: jnp.ndarray, impl: str) -> jax.Array:
+    """Per-step dropout key, optionally re-keyed onto the rbg PRNG.
+
+    Threefry (JAX's default) generates dropout bits on the VPU at real
+    cost: 42% of the base train step on v5e (see BENCHMARKS.md). ``rbg``
+    maps the folded key's data onto ``jax.random.key(impl='rbg')`` state so
+    every bulk ``bernoulli`` inside the model lowers to the TPU-native XLA
+    RngBitGenerator. Deterministic given (rng, step); rbg bit-streams are
+    stable per backend/compiler version, which is the reproducibility bar
+    the epoch-shuffle/resume path needs (same machine, same binary).
+    """
+    return rekey_dropout(jax.random.fold_in(rng, step), impl)
+
+
+def rekey_dropout(k: jax.Array, impl: str) -> jax.Array:
+    """Map a (possibly raw-uint32) threefry key onto the requested impl."""
+    if impl == "threefry":
+        return k
+    if impl != "rbg":
+        raise ValueError(f"dropout_rng_impl must be 'rbg' or 'threefry', "
+                         f"got {impl!r}")
+    if jnp.issubdtype(k.dtype, jnp.integer):   # raw uint32[2] legacy key
+        data = k
+    else:
+        data = jax.random.key_data(k)          # [2] uint32 (threefry)
+    rbg_data = jnp.concatenate([data, data ^ jnp.uint32(0x9E3779B9)])
+    return jax.random.wrap_key_data(rbg_data, impl="rbg")
+
+
 def init_params(cfg: ExperimentConfig, rng: jax.Array, example: Batch) -> Any:
     model = build_model(cfg)
     return model.init({"params": rng}, example.feats, example.frame_lens,
@@ -106,9 +135,10 @@ def make_train_step(
     lr_schedule = noam_schedule(cfg.model.d_model, cfg.train.warmup_steps,
                                 cfg.train.peak_lr_scale)
     cast_dt = compute_cast_dtype(cfg)
+    rng_impl = cfg.train.dropout_rng_impl
 
     def step(state: TrainState, batch: Batch, rng: jax.Array):
-        dropout_rng = jax.random.fold_in(rng, state.step)
+        dropout_rng = dropout_key(rng, state.step, rng_impl)
 
         def loss_fn(params):
             logits = model.apply(

@@ -220,3 +220,51 @@ def test_scan_layers_matches_loop(rng):
     out_scan = np.asarray(scan_model.apply(new_params, feats, flens, tgt,
                                            tlens))
     np.testing.assert_allclose(out_scan, out_loop, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_qkv_matches_unfused():
+    """Packing unfused q/k/v kernels into the fused [d,3,H,Dh] layout gives
+    bit-identical logits (f32) — fused_qkv is a pure layout change."""
+    rng = jax.random.PRNGKey(3)
+    cfg = tiny_config()
+    mcfg_u = cfg.model.replace(fused_qkv=False, dropout_rate=0.0)
+    mcfg_f = cfg.model.replace(fused_qkv=True, dropout_rate=0.0)
+    b, t, u = 2, 64, 10
+    feats = jax.random.normal(rng, (b, t, mcfg_u.input_dim), jnp.float32)
+    fl = jnp.array([t, t // 2], jnp.int32)
+    ti = jax.random.randint(rng, (b, u), 4, mcfg_u.vocab_size)
+    tl = jnp.array([u, u - 3], jnp.int32)
+
+    m_u = SpeechTransformer(mcfg_u)
+    m_f = SpeechTransformer(mcfg_f)
+    p_u = m_u.init({"params": jax.random.PRNGKey(0)}, feats, fl, ti, tl)
+    p_f = jax.tree.map(lambda x: x, m_f.init(
+        {"params": jax.random.PRNGKey(0)}, feats, fl, ti, tl))
+
+    # Pack q/k/v kernels+biases of every self_attn into the fused layout.
+    import flax
+    flat_u = flax.traverse_util.flatten_dict(p_u["params"])
+    flat_f = flax.traverse_util.flatten_dict(p_f["params"])
+    for key in list(flat_f):
+        if "qkv" in key:
+            base = key[:key.index("qkv")]
+            leaf = key[key.index("qkv") + 1]
+            packed = jnp.stack(
+                [flat_u[base + (n, leaf)] for n in ("q", "k", "v")],
+                axis=-3 if leaf == "kernel" else -3)
+            assert packed.shape == flat_f[key].shape, (key, packed.shape,
+                                                       flat_f[key].shape)
+            flat_f[key] = packed
+    p_f = {"params": flax.traverse_util.unflatten_dict(flat_f)}
+
+    out_u = m_u.apply(p_u, feats, fl, ti, tl)
+    out_f = m_f.apply(p_f, feats, fl, ti, tl)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_f),
+                               rtol=0, atol=0)
+
+    # Step decode parity under the fused layout too.
+    mem_f, mem_lens = m_f.apply(p_f, feats, fl, method=m_f.encode)
+    cache = m_f.apply(p_f, mem_f, 4, method=m_f.init_cache)
+    logits_step, _ = m_f.apply(p_f, ti[:, 0], jnp.int32(0), cache, mem_lens,
+                               method=m_f.decode_step)
+    assert np.isfinite(np.asarray(logits_step)).all()

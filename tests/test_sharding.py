@@ -50,6 +50,11 @@ def test_param_spec_rules():
     x3 = jnp.zeros((4, 4, 16))
     x2 = jnp.zeros((4, 16))
     assert param_spec("params/encoder/layer_0/self_attn/q/kernel", x3) == P(None, "model", None)
+    x4q = jnp.zeros((16, 3, 4, 4))
+    assert param_spec("params/encoder/layer_0/self_attn/qkv/kernel", x4q) \
+        == P(None, None, "model", None)
+    assert param_spec("params/decoder/layer_0/self_attn/qkv/bias",
+                      jnp.zeros((3, 4, 4))) == P(None, "model", None)
     assert param_spec("params/decoder/layer_1/cross_attn/out/kernel", x3) == P("model", None, None)
     assert param_spec("params/encoder/layer_0/FeedForward_0/Dense_0/kernel", x2) == P(None, "model")
     assert param_spec("params/decoder/embed/embedding", x2) == P(None, "model")
@@ -124,7 +129,11 @@ def test_sharded_params_actually_distributed(cfg, batch):
     found = False
     for path, leaf in flat:
         p = "/".join(str(getattr(x, "key", x)) for x in path)
-        if p.endswith("self_attn/q/kernel"):
+        if p.endswith("self_attn/qkv/kernel"):
+            spec = leaf.sharding.spec
+            assert spec == P(None, None, "model", None), (p, spec)
+            found = True
+        if p.endswith("cross_attn/q/kernel"):
             spec = leaf.sharding.spec
             assert spec == P(None, "model", None), (p, spec)
             found = True
@@ -198,6 +207,9 @@ def test_param_spec_stacked_scan_layout():
     x3 = jnp.zeros((12, 4, 16))       # [layers, d, ff]
     assert param_spec("params/encoder/layers/layer/self_attn/q/kernel", x4) \
         == P(None, None, "model", None)
+    x5 = jnp.zeros((12, 16, 3, 4, 4))  # [layers, d, 3, H, Dh]
+    assert param_spec("params/encoder/layers/layer/self_attn/qkv/kernel", x5) \
+        == P(None, None, None, "model", None)
     assert param_spec("params/encoder/layers/layer/FeedForward_0/Dense_0/kernel", x3) \
         == P(None, None, "model")
 

@@ -158,3 +158,33 @@ def test_mixed_precision_master_copy(overfit_setup):
     # from f32-weight compute over 5 steps.
     assert abs(loss_mp - loss_full) / max(abs(loss_full), 1e-6) < 0.05, (
         loss_mp, loss_full)
+
+
+def test_dropout_rng_impls(overfit_setup):
+    """rbg dropout keys: deterministic, distinct per step, and the step
+    trains the same model family as threefry (different masks, same
+    distribution)."""
+    from speech_tranformer_pytorch_tpu.train import dropout_key, rekey_dropout
+
+    base = jax.random.PRNGKey(5)
+    k0 = dropout_key(base, jnp.int32(0), "rbg")
+    k0b = dropout_key(base, jnp.int32(0), "rbg")
+    k1 = dropout_key(base, jnp.int32(1), "rbg")
+    assert jnp.array_equal(jax.random.key_data(k0), jax.random.key_data(k0b))
+    assert not jnp.array_equal(jax.random.key_data(k0), jax.random.key_data(k1))
+    # bernoulli under the rbg key actually differs across steps
+    m0 = jax.random.bernoulli(k0, 0.5, (128,))
+    m1 = jax.random.bernoulli(k1, 0.5, (128,))
+    assert not jnp.array_equal(m0, m1)
+    with pytest.raises(ValueError):
+        rekey_dropout(base, "bogus")
+
+    cfg, ds, batch = overfit_setup
+    for impl in ("rbg", "threefry"):
+        c = cfg.replace(train=cfg.train.replace(dropout_rng_impl=impl))
+        c = c.replace(model=c.model.replace(dropout_rate=0.1))
+        state = create_train_state(c, jax.random.PRNGKey(0), batch)
+        step = make_train_step(c, donate=False)
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        s2, m2 = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m2["loss"])), impl
