@@ -1,0 +1,23 @@
+import jax, jax.numpy as jnp
+from speech_tranformer_pytorch_tpu.config import get_config
+from speech_tranformer_pytorch_tpu.train import Batch, create_train_state, make_train_step
+cfg = get_config("base")
+b, frames, u = 32, 1000, 30
+rng = jax.random.PRNGKey(0)
+feats = jax.random.normal(rng, (b, frames, cfg.model.input_dim), jnp.float32)
+fl = jnp.full((b,), frames, jnp.int32)
+ti = jax.random.randint(rng, (b, u), 4, cfg.model.vocab_size).at[:, 0].set(1)
+to = jnp.concatenate([ti[:, 1:], jnp.full((b,1),2,jnp.int32)], 1)
+tl = jnp.full((b,), u, jnp.int32)
+batch = Batch(feats, fl, ti, to, tl)
+state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+step = make_train_step(cfg)
+for _ in range(5):
+    state, m = step(state, batch, rng)
+float(jax.device_get(m["loss"]))
+jax.profiler.start_trace("/tmp/prof_rbg")
+for _ in range(10):
+    state, m = step(state, batch, rng)
+float(jax.device_get(m["loss"]))
+jax.profiler.stop_trace()
+print("ok")

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops import masks as mask_ops
+from ..ops.dropout import Dropout
 from .modules import (FeedForward, LayerNorm, MultiHeadAttention,
                       PositionalEncoding, sinusoidal_position_encoding)
 
@@ -49,7 +50,7 @@ class DecoderLayer(nn.Module):
         self.ln1 = LayerNorm(self.dtype)
         self.ln2 = LayerNorm(self.dtype)
         self.ln3 = LayerNorm(self.dtype)
-        self.drop = nn.Dropout(cfg.dropout_rate)
+        self.drop = Dropout(cfg.dropout_rate)
 
     def __call__(
         self,

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops import masks as mask_ops
+from ..ops.dropout import Dropout
 from .modules import (Conv2dSubsampling, FeedForward, LayerNorm,
                       MultiHeadAttention, PositionalEncoding,
                       subsampled_lengths)
@@ -36,7 +37,7 @@ class EncoderLayer(nn.Module):
         deterministic: bool = True,  # static (remat static_argnums=(-1,))
     ) -> jnp.ndarray:
         cfg = self.cfg
-        drop = lambda y: nn.Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
+        drop = lambda y: Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
 
         attn = MultiHeadAttention(
             cfg.num_heads, cfg.d_model,

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.dropout import Dropout, dropout_quantized
+
 
 def sinusoidal_position_encoding(max_len: int, d_model: int) -> np.ndarray:
     """[max_len, d_model] fixed sinusoidal table (Vaswani et al., 2017)."""
@@ -53,7 +55,7 @@ class PositionalEncoding(nn.Module):
                 f"max_target_positions or shorten data.max_target_len")
         pe = jnp.asarray(sinusoidal_position_encoding(self.max_len, self.d_model))
         x = x + pe[offset:offset + seq_len].astype(self.dtype)
-        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return Dropout(self.dropout_rate)(x, deterministic=deterministic)
 
 
 def conv_output_length(length: jnp.ndarray, kernel: int = 3, stride: int = 2) -> jnp.ndarray:
@@ -104,8 +106,7 @@ def dot_product_attention(
         scores = scores + bias.astype(jnp.float32)
     weights = jax.nn.softmax(scores, axis=-1)
     if not deterministic and dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
-        weights = weights * keep / (1.0 - dropout_rate)
+        weights = dropout_quantized(dropout_rng, weights, dropout_rate)
     weights = weights.astype(v.dtype)
     return jnp.einsum("bhts,bshd->bthd", weights, v)
 
@@ -222,7 +223,7 @@ class FeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray, *, deterministic: bool) -> jnp.ndarray:
         x = nn.Dense(self.d_ff, dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return nn.Dense(self.d_model, dtype=self.dtype)(x)
 
 

@@ -178,3 +178,44 @@ def test_config_validate():
     cfg = get_config("base", **{"data.max_target_len": 9999})
     with pytest.raises(ValueError, match="positional table"):
         cfg.validate()
+
+
+class TestQuantizedDropout:
+    def test_statistics_and_scale(self):
+        import jax
+        import jax.numpy as jnp
+        from speech_tranformer_pytorch_tpu.ops.dropout import dropout_quantized
+        x = jnp.ones((512, 512), jnp.float32)
+        rate = 0.1
+        y = dropout_quantized(jax.random.PRNGKey(0), x, rate)
+        q = round(rate * 256)
+        keep_frac = float((y > 0).mean())
+        assert abs(keep_frac - (256 - q) / 256) < 0.01
+        # unbiased: E[y] == E[x]
+        assert abs(float(y.mean()) - 1.0) < 0.02
+        # kept elements carry the exact inverse-keep scale
+        kept = y[y > 0]
+        assert float(jnp.max(jnp.abs(kept - 256.0 / (256 - q)))) < 1e-6
+
+    def test_edge_rates(self):
+        import jax
+        import jax.numpy as jnp
+        from speech_tranformer_pytorch_tpu.ops.dropout import dropout_quantized
+        x = jnp.ones((16,), jnp.float32)
+        assert (dropout_quantized(jax.random.PRNGKey(0), x, 0.0) == x).all()
+        assert (dropout_quantized(jax.random.PRNGKey(0), x, 0.001) == x).all()
+        assert (dropout_quantized(jax.random.PRNGKey(0), x, 1.0) == 0).all()
+
+    def test_module_deterministic_passthrough(self):
+        import jax
+        import jax.numpy as jnp
+        from speech_tranformer_pytorch_tpu.ops.dropout import Dropout
+        x = jnp.arange(8.0)
+        m = Dropout(0.5)
+        y = m.apply({}, x, deterministic=True)
+        assert (y == x).all()
+        y1 = m.apply({}, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+        y2 = m.apply({}, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+        assert (y1 == y2).all()
