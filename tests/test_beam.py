@@ -123,17 +123,31 @@ def test_beam_matches_oracle(trained):
 
 
 def test_beam1_matches_greedy(trained):
-    """beam=1 with alpha=0 must equal greedy decoding."""
+    """beam=1 with alpha=0 must equal greedy decoding.
+
+    The equivalence only holds for utterances where greedy terminates by
+    emitting <eos>: when greedy runs to max_len without <eos>, beam-1 may
+    legitimately return a shorter hypothesis it banked in the finished
+    pool (an <eos> that ranked 2nd at some step outranks the longer
+    unfinished argmax chain by cumulative log-prob — reference-family
+    finished-pool semantics). Compare only <eos>-terminated utterances.
+    """
     cfg, model, params, ds, batch = trained
+    max_len = 6
     tokens_g, lens_g = jax.jit(lambda p, f, l: greedy_decode_jit(
-        model, p, f, l, max_len=6))(params, batch.feats, batch.frame_lens)
+        model, p, f, l, max_len=max_len))(params, batch.feats,
+                                          batch.frame_lens)
     result = jax.jit(lambda p, f, l: beam_decode(
-        model, p, f, l, beam_size=1, max_len=6, alpha=0.0)
+        model, p, f, l, beam_size=1, max_len=max_len, alpha=0.0)
     )(params, batch.feats, batch.frame_lens)
     greedy_hyps = tokens_to_lists(tokens_g, lens_g)
     beam_hyps = best_hypotheses(result)
     beam_hyps = [[t for t in h if t != EOS] for h in beam_hyps]
-    assert greedy_hyps == beam_hyps
+    terminated = [b for b, h in enumerate(greedy_hyps) if len(h) < max_len]
+    assert len(terminated) >= len(greedy_hyps) // 2   # fixture sanity
+    for b in terminated:
+        assert greedy_hyps[b] == beam_hyps[b], (b, greedy_hyps[b],
+                                                beam_hyps[b])
 
 
 def test_beam_scores_sorted_desc(trained):
