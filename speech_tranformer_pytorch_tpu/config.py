@@ -85,6 +85,9 @@ class ModelConfig(_Replace):
     attention_dropout_rate: float = 0.0
     input_dim: int = 80            # mel bins
     subsample_channels: int = 64   # conv2d-subsampling channel width
+    subsample_impl: str = "conv"   # 'conv' (XLA lax.conv) or 'im2col'
+                                   # (patches+matmul; measured slower in-model
+                                   # — see BENCHMARKS.md); same param tree
     max_source_positions: int = 3000
     max_target_positions: int = 512
     share_embedding: bool = True   # tie decoder embed and output projection
@@ -217,6 +220,9 @@ class ExperimentConfig:
                         f"{max(d.bucket_boundaries)} < data.max_source_frames "
                         f"{d.max_source_frames}: long utterances would be "
                         f"clipped below the configured max")
+        if m.subsample_impl not in ("im2col", "conv"):
+            errs.append(f"model.subsample_impl {m.subsample_impl!r} not in "
+                        f"('im2col', 'conv')")
         if self.decode.beam_size < 1:
             errs.append("decode.beam_size must be >= 1")
         if self.mesh.model_axis >= 1 and m.num_heads % self.mesh.model_axis != 0:

@@ -96,7 +96,8 @@ class Encoder(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
 
         x = Conv2dSubsampling(cfg.d_model, cfg.subsample_channels,
-                              dtype=dtype, name="subsample")(feats)
+                              dtype=dtype, impl=cfg.subsample_impl,
+                              name="subsample")(feats)
         out_lens = subsampled_lengths(frame_lens)
         x = PositionalEncoding(cfg.d_model, cfg.max_source_positions,
                                cfg.dropout_rate, dtype=dtype,

@@ -68,19 +68,72 @@ def subsampled_lengths(frame_lens: jnp.ndarray) -> jnp.ndarray:
     return conv_output_length(conv_output_length(frame_lens))
 
 
+class _PatchConv(nn.Module):
+    """3×3/stride-2 VALID conv computed as strided-slice patches + one matmul.
+
+    Exploratory im2col reformulation of the subsampler convs. MEASURED
+    SLOWER in-model than XLA's conv emitter (45 ms vs 18 ms base train
+    step): the 9 stride-2 slices + their backward pads each move the full
+    activation at terrible lane utilisation (conv1's trailing channel dim
+    is 1, so the [B,T,F,1] layout wastes 127/128 lanes). XLA's conv at
+    these shapes is already near bandwidth-bound (~2 ms fwd+bwd of an
+    18 ms step). Kept as a tested, checkpoint-compatible option
+    (``subsample_impl='im2col'``) and a recorded negative result — see
+    BENCHMARKS.md. Same math as the conv (summation order aside), same
+    param tree (``kernel``/``bias`` with nn.Conv's shapes and inits).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # [B,T,F,C] NHWC
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        b, t, f, _ = x.shape
+        t2 = (t - 3) // 2 + 1
+        f2 = (f - 3) // 2 + 1
+        # 9 strided slices, (dt, df) in C-order to match kernel.reshape.
+        patches = [
+            jax.lax.slice(x, (0, dt, df, 0),
+                          (b, dt + 2 * (t2 - 1) + 1, df + 2 * (f2 - 1) + 1, cin),
+                          (1, 2, 2, 1))
+            for dt in range(3) for df in range(3)
+        ]
+        p = jnp.concatenate(patches, axis=-1)            # [B,T2,F2,9*Cin]
+        (p, kernel, bias) = nn.dtypes.promote_dtype(
+            p, kernel, bias, dtype=self.dtype)
+        w = kernel.reshape(9 * cin, self.features)
+        return jnp.einsum("btfk,kc->btfc", p, w) + bias
+
+
 class Conv2dSubsampling(nn.Module):
-    """[B,T,F] fbank -> [B,T//4,d_model] with recomputed lengths."""
+    """[B,T,F] fbank -> [B,T//4,d_model] with recomputed lengths.
+
+    ``impl='im2col'`` (default) computes each conv as patches+matmul (see
+    ``_PatchConv``); ``impl='conv'`` keeps XLA ``lax.conv``. Both share the
+    same parameter tree (``Conv_0``/``Conv_1`` with nn.Conv layouts).
+    """
 
     d_model: int
     channels: int = 64
     dtype: jnp.dtype = jnp.float32
+    impl: str = "im2col"
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
         x = feats.astype(self.dtype)[..., None]                # [B,T,F,1] NHWC
-        for _ in range(2):
-            x = nn.Conv(self.channels, (3, 3), strides=(2, 2),
-                        padding="VALID", dtype=self.dtype)(x)
+        for i in range(2):
+            if self.impl == "im2col":
+                x = _PatchConv(self.channels, dtype=self.dtype,
+                               name=f"Conv_{i}")(x)
+            else:
+                x = nn.Conv(self.channels, (3, 3), strides=(2, 2),
+                            padding="VALID", dtype=self.dtype,
+                            name=f"Conv_{i}")(x)
             x = nn.relu(x)
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)

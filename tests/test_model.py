@@ -42,6 +42,36 @@ class TestModules:
         # conv k=3 s=2 VALID twice: 64->31->15, 50->24->11, 7->3->1, 3->1->0, 2->0->0
         assert out.tolist() == [15, 11, 1, 0, 0]
 
+    def test_im2col_subsampler_matches_conv(self, rng):
+        """impl='im2col' ≡ impl='conv' (values and grads, shared params)."""
+        from speech_tranformer_pytorch_tpu.models.modules import (
+            Conv2dSubsampling)
+        B, T, F = 2, 37, 80
+        feats = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
+        conv = Conv2dSubsampling(32, channels=16, dtype=jnp.float32,
+                                 impl="conv")
+        im2col = Conv2dSubsampling(32, channels=16, dtype=jnp.float32,
+                                   impl="im2col")
+        params = conv.init(jax.random.PRNGKey(0), feats)
+        # identical param trees (names, shapes) -> checkpoint compatible
+        p2 = im2col.init(jax.random.PRNGKey(0), feats)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p2))
+        out_a = conv.apply(params, feats)
+        out_b = im2col.apply(params, feats)
+        assert out_a.shape == out_b.shape
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(fn, p):
+            return jnp.sum(jnp.tanh(fn.apply(p, feats)))
+        g_a = jax.grad(lambda p: loss(conv, p))(params)
+        g_b = jax.grad(lambda p: loss(im2col, p))(params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4),
+            g_a, g_b)
+
     def test_attention_matches_manual(self, rng):
         B, T, S, H, D = 2, 4, 6, 2, 8
         q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
