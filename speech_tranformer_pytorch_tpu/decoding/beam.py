@@ -37,11 +37,6 @@ def length_penalty(lengths: jnp.ndarray, alpha: float) -> jnp.ndarray:
     return jnp.power((5.0 + lengths.astype(jnp.float32)) / 6.0, alpha)
 
 
-def _tile_beam(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """[B, ...] -> [B*K, ...] by repeating each row K times."""
-    return jnp.repeat(x, k, axis=0)
-
-
 def _gather_beams(x: jnp.ndarray, beam_idx: jnp.ndarray, b: int, k: int) -> jnp.ndarray:
     """Reorder flattened-beam leading dim by beam_idx [B, K_out]."""
     x = x.reshape((b, k) + x.shape[1:])
@@ -81,9 +76,10 @@ def beam_search(
     b = memory.shape[0]
     k = beam_size
 
-    memory_k = _tile_beam(memory, k)          # [B*K, S, D]
-    mem_lens_k = _tile_beam(mem_lens, k)      # [B*K]
-    cache = model.apply(params, memory_k, max_len,
+    # Cross K/V are beam-invariant: the cache keeps them untiled [B,S,H,D]
+    # and decode_step folds the K beams into cross-attention query rows
+    # (models/decoder.py) — only the self-attention cache is per-beam.
+    cache = model.apply(params, memory, max_len, k,
                         method=SpeechTransformer.init_cache)
 
     # Alive state. Only beam 0 live at step 0 (all beams identical).
@@ -101,7 +97,7 @@ def beam_search(
          fin_tokens, fin_scores, fin_lens, cache) = carry
 
         logits, cache = model.apply(
-            params, cur_tokens.reshape(b * k), i, cache, mem_lens_k,
+            params, cur_tokens.reshape(b * k), i, cache, mem_lens, k,
             method=SpeechTransformer.decode_step)          # [B*K, V]
         v = logits.shape[-1]
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

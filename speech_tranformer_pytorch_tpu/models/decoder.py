@@ -9,9 +9,18 @@ Two execution modes, both static-shape:
     repo family re-runs the full prefix each step (no KV cache — SURVEY.md
     §3.2); the cache drops per-step cost from O(L²) to O(L).
 
-Cache layout (per layer l):
-  self_k/self_v   : [B, max_len, H, D]   written at position ``index``
-  cross_k/cross_v : [B, S, H, D]         precomputed once from encoder memory
+Cache layout (per layer l), where the step batch is ``B·K`` rows (K = beam
+width, K=1 for greedy):
+  self_k/self_v   : [B·K, max_len, H, D]  written at position ``index``
+  cross_k/cross_v : [B,   S,       H, D]  precomputed once from encoder memory
+
+Cross K/V are beam-INVARIANT, so they are stored untiled and the K beams
+fold into the query rows of cross-attention (attention over S is
+independent per query position, so this is exact). At base config this is
+the dominant decode-step HBM traffic — [B·K,S,H,D]×2×layers ≈ 246 MB/step
+tiled vs 49 MB untiled at B=16, K=5, S=250 — a ~5× cut on the biggest
+stream. The reference re-runs the full prefix per step instead (SURVEY.md
+§3.2); nothing upstream stores a tiled cross cache to compare against.
 """
 
 from __future__ import annotations
@@ -88,6 +97,7 @@ class DecoderLayer(nn.Module):
     # ----- step decoding ---------------------------------------------------
 
     def init_layer_cache(self, memory: jnp.ndarray, batch: int, max_len: int) -> Cache:
+        """``memory`` is UNtiled [B,S,d]; ``batch`` is the step batch B·K."""
         cfg = self.cfg
         h, d = cfg.num_heads, cfg.d_model // cfg.num_heads
         ck, cv = self.cross_attn.project_kv(memory)
@@ -97,10 +107,11 @@ class DecoderLayer(nn.Module):
 
     def decode_step(
         self,
-        x: jnp.ndarray,            # [B, 1, d_model] current position
+        x: jnp.ndarray,            # [B·K, 1, d_model] current position
         cache: Cache,
         index: jnp.ndarray,        # scalar int32 current position
         cross_bias: jnp.ndarray,   # [B, 1, 1, S]
+        beam_width: int = 1,       # static: K beams per utterance
     ) -> Tuple[jnp.ndarray, Cache]:
         max_len = cache["self_k"].shape[1]
 
@@ -119,8 +130,15 @@ class DecoderLayer(nn.Module):
             return out, self_k, self_v
 
         def cross_attend(h):
-            return self.cross_attn.attend(
-                h, cache["cross_k"], cache["cross_v"], cross_bias)
+            # Fold the K beams into query rows: [B·K,1,d] -> [B,K,d]. Exact
+            # (per-query-position independence); reads cross K/V once per
+            # utterance per step instead of once per beam.
+            bk, _, d = h.shape
+            b = bk // beam_width
+            out = self.cross_attn.attend(
+                h.reshape(b, beam_width, d),
+                cache["cross_k"], cache["cross_v"], cross_bias)
+            return out.reshape(bk, 1, d)
 
         if self.cfg.normalize_before:
             h = self.ln1(x)
@@ -205,9 +223,12 @@ class Decoder(nn.Module):
 
     # ----- step decoding ---------------------------------------------------
 
-    def init_cache(self, memory: jnp.ndarray, max_len: int) -> Cache:
-        """Build the KV-cache pytree (cross K/V precomputed once)."""
-        b = memory.shape[0]
+    def init_cache(self, memory: jnp.ndarray, max_len: int,
+                   beam_width: int = 1) -> Cache:
+        """Build the KV-cache pytree. ``memory`` is UNtiled [B,S,d]; the
+        self-attention cache gets B·beam_width rows, the cross K/V stay
+        beam-invariant at [B,S,H,D] (see module docstring)."""
+        b = memory.shape[0] * beam_width
         mem = memory.astype(self.compute_dtype)
         cache: Cache = {}
         for i, layer in enumerate(self.layers):
@@ -216,14 +237,15 @@ class Decoder(nn.Module):
 
     def decode_step(
         self,
-        tokens: jnp.ndarray,       # [B] current input token ids
+        tokens: jnp.ndarray,       # [B·K] current input token ids
         index: jnp.ndarray,        # scalar int32 position
         cache: Cache,
-        mem_lens: jnp.ndarray,     # [B]
+        mem_lens: jnp.ndarray,     # [B] UNtiled memory lengths
+        beam_width: int = 1,       # static: K beams per utterance
     ) -> Tuple[jnp.ndarray, Cache]:
-        """One AR step. Returns (logits [B, V] f32, updated cache)."""
+        """One AR step. Returns (logits [B·K, V] f32, updated cache)."""
         s = cache["layer_0"]["cross_k"].shape[1]
-        x = self._embed_scaled(tokens[:, None])                 # [B,1,d]
+        x = self._embed_scaled(tokens[:, None])                 # [B·K,1,d]
         pe = jnp.asarray(sinusoidal_position_encoding(
             self.cfg.max_target_positions, self.cfg.d_model))
         x = x + jax.lax.dynamic_slice_in_dim(pe, index, 1, axis=0)[None].astype(
@@ -235,6 +257,6 @@ class Decoder(nn.Module):
         new_cache: Cache = {}
         for i, layer in enumerate(self.layers):
             x, new_cache[f"layer_{i}"] = layer.decode_step(
-                x, cache[f"layer_{i}"], index, cross_bias)
+                x, cache[f"layer_{i}"], index, cross_bias, beam_width)
         x = self.final_norm(x)
         return self._logits(x)[:, 0, :], new_cache

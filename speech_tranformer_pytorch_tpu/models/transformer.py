@@ -51,8 +51,10 @@ class SpeechTransformer(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return self.encoder(feats, frame_lens, deterministic=deterministic)
 
-    def init_cache(self, memory: jnp.ndarray, max_len: int) -> Cache:
-        return self.decoder.init_cache(memory, max_len)
+    def init_cache(self, memory: jnp.ndarray, max_len: int,
+                   beam_width: int = 1) -> Cache:
+        return self.decoder.init_cache(memory, max_len, beam_width)
 
-    def decode_step(self, tokens, index, cache, mem_lens):
-        return self.decoder.decode_step(tokens, index, cache, mem_lens)
+    def decode_step(self, tokens, index, cache, mem_lens, beam_width: int = 1):
+        return self.decoder.decode_step(tokens, index, cache, mem_lens,
+                                        beam_width)
