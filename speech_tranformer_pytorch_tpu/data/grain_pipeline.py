@@ -2,25 +2,29 @@
 "grain / tf.data sharded input pipeline" replacing the reference's
 DataLoader worker pool).
 
-grain provides the deterministic, host-sharded, checkpointable index
-stream and the multiprocess IO workers; bucketing-by-length and padding
-reuse the same assembler as the pure-Python pipeline (pipeline.py), so
-both paths produce identical AudioBatch contracts. The grain iterator is
-checkpointable via ``PyGrainCheckpointHandler`` (SURVEY.md §5 "Checkpoint /
-resume": data-iterator state in checkpoints).
+Design: the batch composition is decided up front by the metadata-only
+``plan_epoch`` (shared with the pure-Python ``BucketedBatcher``, so both
+pipelines produce identical global batch boundaries — including multi-host
+batch-count parity and frame-budget batching). grain is then used purely
+as the parallel-IO engine: a ``MapDataset`` over a permuted view of the
+manifest reads exactly this host's records in exactly the order the plan
+consumes them, prefetched by IO threads (or worker processes when
+``num_workers > 0``).
+
+Because the plan needs no audio, checkpoint resume skips into an epoch at
+batch granularity with zero IO for the skipped batches
+(``epoch(e, skip_batches=n)`` — SURVEY.md §5 "Checkpoint / resume").
 """
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
 
 import grain.python as gp
 
-from ..config import DataConfig, FeatureConfig
-from .pipeline import AudioBatch, ManifestDataset, _frames_for_samples
+from .pipeline import AudioBatch, ManifestDataset, plan_epoch
 from .prepare import read_audio
 from .tokenizer import EOS, PAD, SOS
 
@@ -41,11 +45,26 @@ class ManifestSource(gp.RandomAccessDataSource):
                 "idx": np.int64(idx)}
 
 
+class _PermutedSource(gp.RandomAccessDataSource):
+    """``source`` re-indexed by an explicit record sequence."""
+
+    def __init__(self, source: ManifestSource, seq: Sequence[int]):
+        self._source = source
+        self._seq = list(seq)
+
+    def __len__(self) -> int:
+        return len(self._seq)
+
+    def __getitem__(self, i: int):
+        return self._source[self._seq[i]]
+
+
 class GrainBucketedPipeline:
     """Deterministic sharded epoch iterator over bucketed AudioBatches.
 
-    grain owns shuffling/sharding/worker IO; this class owns bucket
-    assembly (same static-shape contract as BucketedBatcher).
+    Same batch plan as ``BucketedBatcher`` (global order, global batch
+    boundaries, frame-budget bucket batch sizes); grain owns only the
+    parallel record IO.
     """
 
     def __init__(
@@ -60,84 +79,82 @@ class GrainBucketedPipeline:
         num_shards: int = 1,
         num_workers: int = 0,
         drop_remainder: bool = True,
+        shuffle: bool = True,
+        max_frames_per_batch: int = 0,
     ):
         self.ds = ds
         self.batch_size = batch_size
         self.boundaries = list(bucket_boundaries)
+        if max_frames_per_batch > 0:
+            self.bucket_batch_sizes = [
+                max(max_frames_per_batch // bnd, 1) for bnd in self.boundaries]
+        else:
+            self.bucket_batch_sizes = [batch_size] * len(self.boundaries)
         self.target_len = target_len
         self.seed = seed
-        self.drop_remainder = drop_remainder
-        self.source = ManifestSource(ds)
-        self.shard_options = gp.ShardOptions(
-            shard_index=shard_index, shard_count=num_shards,
-            drop_remainder=False)
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         self.num_workers = num_workers
+        self.drop_remainder = drop_remainder
+        self.shuffle = shuffle
+        self.source = ManifestSource(ds)
 
-    def _loader(self, epoch: int) -> gp.DataLoader:
-        sampler = gp.IndexSampler(
-            num_records=len(self.source),
-            shard_options=self.shard_options,
-            shuffle=True,
-            num_epochs=1,
-            seed=self.seed + epoch,
-        )
-        return gp.DataLoader(
-            data_source=self.source,
-            sampler=sampler,
-            operations=[],
-            worker_count=self.num_workers,
-        )
+    def plan(self, epoch_index: int):
+        return plan_epoch(
+            self.ds, boundaries=self.boundaries,
+            bucket_batch_sizes=self.bucket_batch_sizes,
+            num_shards=self.num_shards, seed=self.seed,
+            epoch_index=epoch_index, shuffle=self.shuffle,
+            drop_remainder=self.drop_remainder)
 
-    def _bucket_of(self, frames: int) -> int:
-        for i, b in enumerate(self.boundaries):
-            if frames <= b:
-                return i
-        return len(self.boundaries) - 1
-
-    def epoch(self, epoch_index: int) -> Iterator[AudioBatch]:
+    def _assemble(self, items: List[dict], bucket: int,
+                  pad_to_batch: bool) -> AudioBatch:
         import jax.numpy as jnp
 
         fcfg = self.ds.fcfg
         hop, L = fcfg.frame_shift, fcfg.frame_length
-        buckets: dict[int, List[dict]] = {}
+        max_samples = L + (self.boundaries[bucket] - 1) * hop
+        bsz = (self.bucket_batch_sizes[bucket] if pad_to_batch
+               else len(items))
+        audio = np.zeros((bsz, max_samples), np.float32)
+        slens = np.zeros((bsz,), np.int32)
+        tin = np.full((bsz, self.target_len), PAD, np.int32)
+        tout = np.full((bsz, self.target_len), PAD, np.int32)
+        tlens = np.zeros((bsz,), np.int32)
+        valid = np.zeros((bsz,), bool)
+        for row, it in enumerate(items):
+            n = min(len(it["audio"]), max_samples)
+            audio[row, :n] = it["audio"][:n]
+            slens[row] = n
+            toks = it["tokens"][: self.target_len - 1]
+            tin[row, 0] = SOS
+            tin[row, 1:1 + len(toks)] = toks
+            tout[row, :len(toks)] = toks
+            tout[row, len(toks)] = EOS
+            tlens[row] = len(toks) + 1
+            valid[row] = True
+        for row in range(len(items), bsz):   # eval padding rows
+            slens[row] = L
+            tlens[row] = 1
+            tin[row, 0] = SOS
+            tout[row, 0] = EOS
+        return AudioBatch(jnp.asarray(audio), jnp.asarray(slens),
+                          jnp.asarray(tin), jnp.asarray(tout),
+                          jnp.asarray(tlens), jnp.asarray(valid))
 
-        def assemble(items: List[dict], bucket: int,
-                     pad_to_batch: bool) -> AudioBatch:
-            max_samples = L + (self.boundaries[bucket] - 1) * hop
-            bsz = self.batch_size if pad_to_batch else len(items)
-            audio = np.zeros((bsz, max_samples), np.float32)
-            slens = np.zeros((bsz,), np.int32)
-            tin = np.full((bsz, self.target_len), PAD, np.int32)
-            tout = np.full((bsz, self.target_len), PAD, np.int32)
-            tlens = np.zeros((bsz,), np.int32)
-            valid = np.zeros((bsz,), bool)
-            for row, it in enumerate(items):
-                n = min(len(it["audio"]), max_samples)
-                audio[row, :n] = it["audio"][:n]
-                slens[row] = n
-                toks = it["tokens"][: self.target_len - 1]
-                tin[row, 0] = SOS
-                tin[row, 1:1 + len(toks)] = toks
-                tout[row, :len(toks)] = toks
-                tout[row, len(toks)] = EOS
-                tlens[row] = len(toks) + 1
-                valid[row] = True
-            for row in range(len(items), bsz):
-                slens[row] = L
-                tlens[row] = 1
-                tin[row, 0] = SOS
-                tout[row, 0] = EOS
-            return AudioBatch(jnp.asarray(audio), jnp.asarray(slens),
-                              jnp.asarray(tin), jnp.asarray(tout),
-                              jnp.asarray(tlens), jnp.asarray(valid))
-
-        for item in self._loader(epoch_index):
-            frames = _frames_for_samples(len(item["audio"]), fcfg)
-            b = self._bucket_of(frames)
-            buckets.setdefault(b, []).append(item)
-            if len(buckets[b]) == self.batch_size:
-                yield assemble(buckets.pop(b), b, False)
-        if not self.drop_remainder:
-            for b, items in sorted(buckets.items()):
-                if items:
-                    yield assemble(items, b, True)
+    def epoch(self, epoch_index: int,
+              skip_batches: int = 0) -> Iterator[AudioBatch]:
+        plans = self.plan(epoch_index)[skip_batches:]
+        host_rows = [p.global_idxs[self.shard_index::self.num_shards]
+                     for p in plans]
+        seq: List[int] = [i for rows in host_rows for i in rows]
+        ds = gp.MapDataset.source(_PermutedSource(self.source, seq))
+        if self.num_workers > 0:
+            it = iter(ds.to_iter_dataset().mp_prefetch(
+                gp.MultiprocessingOptions(num_workers=self.num_workers)))
+        else:
+            it = iter(ds.to_iter_dataset(read_options=gp.ReadOptions(
+                num_threads=4, prefetch_buffer_size=32)))
+        for p, rows in zip(plans, host_rows):
+            items = [next(it) for _ in rows]
+            yield self._assemble(items, p.bucket, p.pad_to_batch)

@@ -81,6 +81,63 @@ class ManifestDataset:
         return len(self.entries)
 
 
+@dataclasses.dataclass(frozen=True)
+class PlannedBatch:
+    """One global batch decided purely from manifest metadata."""
+    bucket: int
+    global_idxs: Tuple[int, ...]   # entry indices, global order
+    pad_to_batch: bool             # remainder batch — pad rows to full size
+
+
+def plan_epoch(
+    ds: "ManifestDataset",
+    *,
+    boundaries: Sequence[int],
+    bucket_batch_sizes: Sequence[int],
+    num_shards: int,
+    seed: int,
+    epoch_index: int,
+    shuffle: bool,
+    drop_remainder: bool,
+) -> List[PlannedBatch]:
+    """Metadata-only epoch plan shared by both pipelines.
+
+    Every host computes the SAME plan (global shuffled order, global batch
+    boundaries of per-host-batch × num_shards), so all hosts yield the same
+    number of batches per epoch — per-shard bucketing would drift and
+    deadlock synchronous collectives (SURVEY.md §7 hard part 4). Because
+    the plan needs no audio IO, checkpoint resume can skip into an epoch
+    at batch granularity without reading the skipped utterances.
+    """
+    order = np.arange(len(ds))
+    if shuffle:
+        rng = np.random.default_rng(seed + epoch_index)
+        rng.shuffle(order)
+
+    def bucket_of(frames: int) -> int:
+        for i, b in enumerate(boundaries):
+            if frames <= b:
+                return i
+        return len(boundaries) - 1
+
+    plans: List[PlannedBatch] = []
+    buckets: Dict[int, List[int]] = {}
+    for idx in order:
+        e = ds.entries[idx]
+        b = bucket_of(_frames_for_samples(e["num_samples"], ds.fcfg))
+        buckets.setdefault(b, []).append(int(idx))
+        if len(buckets[b]) == bucket_batch_sizes[b] * num_shards:
+            plans.append(PlannedBatch(b, tuple(buckets.pop(b)), False))
+    if not drop_remainder:
+        for b, global_idxs in sorted(buckets.items()):
+            if global_idxs:
+                # all hosts see the same non-empty global remainder =>
+                # same batch count; a host's slice may be empty -> all
+                # padding rows (valid=False).
+                plans.append(PlannedBatch(b, tuple(global_idxs), True))
+    return plans
+
+
 class BucketedBatcher:
     """Length-bucketed, epoch-shuffled, host-sharded batch iterator.
 
@@ -127,40 +184,23 @@ class BucketedBatcher:
                 return i
         return len(self.boundaries) - 1
 
-    def epoch(self, epoch_index: int) -> Iterator[AudioBatch]:
-        """Host-sharded epoch stream.
+    def plan(self, epoch_index: int) -> List[PlannedBatch]:
+        return plan_epoch(
+            self.ds, boundaries=self.boundaries,
+            bucket_batch_sizes=self.bucket_batch_sizes,
+            num_shards=self.num_shards, seed=self.seed,
+            epoch_index=epoch_index, shuffle=self.shuffle,
+            drop_remainder=self.drop_remainder)
 
-        Multi-host safety: every host walks the SAME shuffled global order
-        and forms the SAME global batch boundaries (global batch =
-        per-host batch × num_shards); each host then materializes only its
-        interleaved slice of each global batch. All hosts therefore yield
-        the SAME number of batches per epoch — per-shard bucketing would
-        not (bucket fills drift across shards), deadlocking synchronous
-        collectives (SURVEY.md §7 hard part 4).
-        """
-        order = np.arange(len(self.ds))
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + epoch_index)
-            rng.shuffle(order)
-
-        buckets: Dict[int, List[int]] = {}
-        for idx in order:
-            e = self.ds.entries[idx]
-            b = self._bucket_of(_frames_for_samples(e["num_samples"], self.ds.fcfg))
-            buckets.setdefault(b, []).append(idx)
-            if len(buckets[b]) == self.bucket_batch_sizes[b] * self.num_shards:
-                global_idxs = buckets.pop(b)
-                yield self._make_batch(
-                    global_idxs[self.shard_index::self.num_shards], b)
-        if not self.drop_remainder:
-            for b, global_idxs in sorted(buckets.items()):
-                if global_idxs:
-                    # all hosts see the same non-empty global remainder =>
-                    # same batch count; a host's slice may be empty -> all
-                    # padding rows (valid=False).
-                    yield self._make_batch(
-                        global_idxs[self.shard_index::self.num_shards], b,
-                        pad_to_batch=True)
+    def epoch(self, epoch_index: int,
+              skip_batches: int = 0) -> Iterator[AudioBatch]:
+        """Host-sharded epoch stream (see ``plan_epoch`` for the multi-host
+        parity argument). ``skip_batches`` resumes mid-epoch without any
+        audio IO for the skipped batches (the plan is metadata-only)."""
+        for p in self.plan(epoch_index)[skip_batches:]:
+            yield self._make_batch(
+                list(p.global_idxs[self.shard_index::self.num_shards]),
+                p.bucket, pad_to_batch=p.pad_to_batch)
 
     def _make_batch(self, idxs: List[int], bucket: int,
                     *, pad_to_batch: bool = False) -> AudioBatch:

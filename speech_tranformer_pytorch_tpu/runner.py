@@ -78,7 +78,9 @@ class Trainer:
                 target_len=target_len, seed=t.seed,
                 shard_index=shard_index, num_shards=num_shards,
                 num_workers=cfg.data.num_workers,
-                drop_remainder=True)
+                drop_remainder=True,
+                max_frames_per_batch=(t.max_frames_per_batch // num_shards
+                                      if t.max_frames_per_batch else 0))
         else:
             self.batcher = BucketedBatcher(
                 self.train_ds, batch_size=per_host_batch,
@@ -141,9 +143,12 @@ class Trainer:
         window_tokens = 0.0
         from .data.prefetch import prefetch
         for epoch in range(self.start_epoch, t.num_epochs):
-            for bi, abatch in enumerate(prefetch(self.batcher.epoch(epoch))):
-                if epoch == self.start_epoch and bi < self.start_batch:
-                    continue
+            # Mid-epoch resume: both pipelines skip via the metadata-only
+            # epoch plan — no audio IO for already-trained batches.
+            skip = self.start_batch if epoch == self.start_epoch else 0
+            for bi, abatch in enumerate(
+                    prefetch(self.batcher.epoch(epoch, skip_batches=skip)),
+                    start=skip):
                 self.state, metrics = self.step_fn(self.state, abatch, self.rng)
                 step = int(jax.device_get(self.state.step))
                 window_audio += float(jax.device_get(metrics["audio_seconds"])) \

@@ -223,6 +223,61 @@ class TestGrainPipeline:
         assert sig(0) == sig(0)
         assert sig(0) != sig(1) or len(sig(0)) <= 1
 
+    def test_grain_matches_python_pipeline_exactly(self, corpus):
+        """Both pipelines share plan_epoch => identical batches."""
+        from speech_tranformer_pytorch_tpu.data.grain_pipeline import \
+            GrainBucketedPipeline
+        from speech_tranformer_pytorch_tpu.data.pipeline import \
+            BucketedBatcher
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16), fcfg)
+        kw = dict(batch_size=4, bucket_boundaries=(100, 200), target_len=8,
+                  seed=7, drop_remainder=False)
+        ga = list(GrainBucketedPipeline(ds, **kw).epoch(1))
+        py = list(BucketedBatcher(ds, **kw).epoch(1))
+        assert len(ga) == len(py) > 0
+        for a, b in zip(ga, py):
+            for fa, fb in zip(jax.tree_util.tree_leaves(a),
+                              jax.tree_util.tree_leaves(b)):
+                np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+    def test_skip_batches_no_io_resume(self, corpus):
+        """epoch(e, skip_batches=n) == epoch(e)[n:] for both pipelines."""
+        from speech_tranformer_pytorch_tpu.data.grain_pipeline import \
+            GrainBucketedPipeline
+        from speech_tranformer_pytorch_tpu.data.pipeline import \
+            BucketedBatcher
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16), fcfg)
+        kw = dict(batch_size=4, bucket_boundaries=(200,), target_len=8,
+                  seed=0, drop_remainder=False)
+        for cls in (BucketedBatcher, GrainBucketedPipeline):
+            pipe = cls(ds, **kw)
+            full = list(pipe.epoch(0))
+            assert len(full) >= 2
+            skipped = list(pipe.epoch(0, skip_batches=1))
+            assert len(skipped) == len(full) - 1
+            for a, b in zip(full[1:], skipped):
+                for fa, fb in zip(jax.tree_util.tree_leaves(a),
+                                  jax.tree_util.tree_leaves(b)):
+                    np.testing.assert_array_equal(np.asarray(fa),
+                                                  np.asarray(fb))
+
+    def test_grain_multihost_batch_count_parity(self, corpus):
+        """All shards yield the same number of batches (no deadlock)."""
+        from speech_tranformer_pytorch_tpu.data.grain_pipeline import \
+            GrainBucketedPipeline
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16), fcfg)
+        counts = []
+        for shard in range(3):
+            pipe = GrainBucketedPipeline(
+                ds, batch_size=2, bucket_boundaries=(100, 200), target_len=8,
+                seed=5, shard_index=shard, num_shards=3,
+                drop_remainder=False)
+            counts.append(len(list(pipe.epoch(0))))
+        assert len(set(counts)) == 1, counts
+
     def test_grain_sharding_partitions(self, corpus):
         from speech_tranformer_pytorch_tpu.data.grain_pipeline import \
             GrainBucketedPipeline
