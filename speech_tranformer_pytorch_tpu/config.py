@@ -85,9 +85,11 @@ class ModelConfig(_Replace):
     attention_dropout_rate: float = 0.0
     input_dim: int = 80            # mel bins
     subsample_channels: int = 64   # conv2d-subsampling channel width
-    subsample_impl: str = "conv"   # 'conv' (XLA lax.conv) or 'im2col'
-                                   # (patches+matmul; measured slower in-model
-                                   # — see BENCHMARKS.md); same param tree
+    subsample_impl: str = "conv"   # 'conv' (XLA lax.conv), 'phase' (conv for
+                                   # Conv_0 + phase-im2col matmul for Conv_1),
+                                   # or 'im2col' (strided-slice patches;
+                                   # measured slower — BENCHMARKS.md); same
+                                   # param tree, checkpoints interchangeable
     max_source_positions: int = 3000
     max_target_positions: int = 512
     share_embedding: bool = True   # tie decoder embed and output projection
@@ -98,6 +100,14 @@ class ModelConfig(_Replace):
                                        # measured faster at speech seq lens (<=1536),
                                        # enable for memory-bound long-context runs
     remat: bool = False            # jax.checkpoint each block (HBM for FLOPs)
+    attention_remat: bool = False  # jax.checkpoint the jnp attention core:
+                                   # AD recomputes softmax weights in the bwd
+                                   # instead of saving f32 [B,H,T,S] residuals
+                                   # (-380 MB activations at base, -3.4 GB at
+                                   # 3000 frames). Speed-neutral at base
+                                   # (17.4 vs 17.3 ms), 11% slower at 3000
+                                   # frames — memory lever only, off by
+                                   # default (BENCHMARKS.md)
     scan_layers: bool = False      # nn.scan over encoder layers (fast compile
                                    # for deep presets; stacked param layout)
 
@@ -220,9 +230,9 @@ class ExperimentConfig:
                         f"{max(d.bucket_boundaries)} < data.max_source_frames "
                         f"{d.max_source_frames}: long utterances would be "
                         f"clipped below the configured max")
-        if m.subsample_impl not in ("im2col", "conv"):
+        if m.subsample_impl not in ("im2col", "conv", "phase"):
             errs.append(f"model.subsample_impl {m.subsample_impl!r} not in "
-                        f"('im2col', 'conv')")
+                        f"('im2col', 'conv', 'phase')")
         if self.decode.beam_size < 1:
             errs.append("decode.beam_size must be >= 1")
         if self.mesh.model_axis >= 1 and m.num_heads % self.mesh.model_axis != 0:

@@ -50,11 +50,13 @@ class DecoderLayer(nn.Module):
             cfg.num_heads, cfg.d_model,
             dropout_rate=cfg.attention_dropout_rate, dtype=self.dtype,
             use_flash=cfg.use_flash_attention, fused_qkv=cfg.fused_qkv,
+            remat=cfg.attention_remat,
             name="self_attn")
         self.cross_attn = MultiHeadAttention(
             cfg.num_heads, cfg.d_model,
             dropout_rate=cfg.attention_dropout_rate, dtype=self.dtype,
-            use_flash=cfg.use_flash_attention, name="cross_attn")
+            use_flash=cfg.use_flash_attention, remat=cfg.attention_remat,
+            name="cross_attn")
         self.ffn = FeedForward(cfg.d_ff, cfg.d_model, cfg.dropout_rate, self.dtype)
         self.ln1 = LayerNorm(self.dtype)
         self.ln2 = LayerNorm(self.dtype)

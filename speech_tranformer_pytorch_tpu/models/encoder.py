@@ -43,6 +43,7 @@ class EncoderLayer(nn.Module):
             cfg.num_heads, cfg.d_model,
             dropout_rate=cfg.attention_dropout_rate, dtype=self.dtype,
             use_flash=cfg.use_flash_attention, fused_qkv=cfg.fused_qkv,
+            remat=cfg.attention_remat,
             name="self_attn")
         ffn = FeedForward(cfg.d_ff, cfg.d_model, cfg.dropout_rate, self.dtype)
         ln1, ln2 = LayerNorm(self.dtype), LayerNorm(self.dtype)

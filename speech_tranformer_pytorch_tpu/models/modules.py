@@ -17,6 +17,7 @@ shapes are static under jit.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -110,18 +111,94 @@ class _PatchConv(nn.Module):
         return jnp.einsum("btfk,kc->btfc", p, w) + bias
 
 
+class _PhaseConv(nn.Module):
+    """3×3/stride-2 VALID conv as even/odd *phase* decomposition + matmul.
+
+    Second take on the im2col idea (see ``_PatchConv`` for the first,
+    negative, result). The failure mode there was the nine stride-2
+    ``lax.slice`` ops: each moves the whole activation at stride 2 along
+    the *sublane* axes, which XLA lowers to slow strided copies (and slow
+    pad-transposes in the backward). Here the stride-2 is expressed as a
+    reshape into even/odd phases — ``[B,T,F,C] -> [B,T/2,2,F,C]`` — so
+    every "slice" is a contiguous view along an axis XLA can relayout
+    cheaply, and the backward is pad+reshape instead of a dilated conv.
+    The nine (dt, df) patches then feed ONE [9·C_in -> C_out] matmul with
+    a lane-aligned contraction (C_in ≥ 64 keeps the last dim on full
+    lanes; for the C_in=1 first conv this layout is hopeless, which is why
+    ``Conv2dSubsampling(impl='phase')`` keeps XLA conv for Conv_0 and uses
+    this only for Conv_1). Same param tree / math as ``nn.Conv`` (VALID,
+    summation order aside).
+
+    MEASURED SLOWER in-model too (21.5 vs 17.6 ms base train step): the
+    nine lane-axis concat pieces are 64-wide (half a 128-lane register),
+    so building the [.., 9·64] patch tensor and its backward
+    slice-pad-add chain still relayouts the full activation several
+    times, outweighing the conv→matmul gain. Second recorded negative
+    result for im2col-style subsampling (see also ``_PatchConv``); XLA's
+    conv emitter stays the default.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # [B,T,F,C] NHWC
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        b, t, f, _ = x.shape
+        t2 = (t - 3) // 2 + 1
+        f2 = (f - 3) // 2 + 1
+
+        def phases(y, axis, n_out):
+            """even/odd interleave along ``axis``: returns (even, odd) with
+            ``n_out + 1`` entries each (enough for the +1 shifted tap)."""
+            pad_to = 2 * (n_out + 1)
+            pads = [(0, 0)] * y.ndim
+            pads[axis] = (0, pad_to - y.shape[axis])
+            yp = jnp.pad(y, pads)
+            shape = list(yp.shape)
+            shape[axis:axis + 1] = [n_out + 1, 2]
+            yr = yp.reshape(shape)
+            even = jax.lax.index_in_dim(yr, 0, axis + 1, keepdims=False)
+            odd = jax.lax.index_in_dim(yr, 1, axis + 1, keepdims=False)
+            return even, odd
+
+        te, to = phases(x, 1, t2)                        # [B,t2+1,F,C]
+        # taps 2t+dt for dt=0,1,2 -> even[t], odd[t], even[t+1]
+        t_taps = (te[:, :t2], to[:, :t2], te[:, 1:t2 + 1])
+        patches = []
+        for xt in t_taps:
+            fe, fo = phases(xt, 2, f2)                   # [B,t2,f2+1,C]
+            patches += [fe[:, :, :f2], fo[:, :, :f2], fe[:, :, 1:f2 + 1]]
+        p = jnp.concatenate(patches, axis=-1)            # [B,t2,f2,9*Cin]
+        (p, kernel, bias) = nn.dtypes.promote_dtype(
+            p, kernel, bias, dtype=self.dtype)
+        w = kernel.reshape(9 * cin, self.features)       # (dt,df,cin) C-order
+        return jnp.einsum("btfk,kc->btfc", p, w) + bias
+
+
 class Conv2dSubsampling(nn.Module):
     """[B,T,F] fbank -> [B,T//4,d_model] with recomputed lengths.
 
-    ``impl='im2col'`` (default) computes each conv as patches+matmul (see
-    ``_PatchConv``); ``impl='conv'`` keeps XLA ``lax.conv``. Both share the
-    same parameter tree (``Conv_0``/``Conv_1`` with nn.Conv layouts).
+    ``impl``: ``'conv'`` = XLA ``lax.conv`` for both layers;
+    ``'im2col'`` = strided-slice patches+matmul (recorded negative result,
+    see ``_PatchConv``); ``'phase'`` = XLA conv for the C_in=1 Conv_0 +
+    phase-decomposed patches+matmul (``_PhaseConv``) for the lane-aligned
+    Conv_1 (also measured slower in-model — see ``_PhaseConv``; the
+    Conv_1 backward it targets is 4.4% of the base step as XLA's
+    dilated conv, but the patch relayouts cost more). All impls share one
+    parameter tree
+    (``Conv_0``/``Conv_1`` with nn.Conv layouts): checkpoints are
+    interchangeable.
     """
 
     d_model: int
     channels: int = 64
     dtype: jnp.dtype = jnp.float32
-    impl: str = "im2col"
+    impl: str = "conv"
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
@@ -129,6 +206,9 @@ class Conv2dSubsampling(nn.Module):
         for i in range(2):
             if self.impl == "im2col":
                 x = _PatchConv(self.channels, dtype=self.dtype,
+                               name=f"Conv_{i}")(x)
+            elif self.impl == "phase" and i == 1:
+                x = _PhaseConv(self.channels, dtype=self.dtype,
                                name=f"Conv_{i}")(x)
             else:
                 x = nn.Conv(self.channels, (3, 3), strides=(2, 2),
@@ -171,6 +251,17 @@ class MultiHeadAttention(nn.Module):
     replaces the three q/k/v projections — a single larger MXU matmul and
     one kernel launch instead of three (and one matmul per decode step
     instead of three on the KV-cache path).
+
+    ``remat`` wraps the jnp attention core in ``jax.checkpoint`` so AD does
+    NOT save the f32 softmax weights ([B,H,T,S] — 63 MB/layer at base
+    encoder shapes) as backward residuals. Measured speed-NEUTRAL at base
+    (17.4 vs 17.3 ms/step) and 11% slower at 3000 frames — the backward
+    replay re-materializes the same f32 tensor it saved, so only the
+    fwd-side copy is avoided. It IS a real activation-memory lever
+    (-380 MB at base, -3.4 GB at 3000 frames), so it ships off by default
+    as a memory option. Bit-exact gradients (the replay runs identical
+    ops, incl. dropout bits from the same rng). The Pallas flash path
+    gets the memory AND the traffic win via its logsumexp residuals.
     """
 
     num_heads: int
@@ -179,6 +270,7 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     fused_qkv: bool = False
+    remat: bool = True
 
     def setup(self):
         h, d = self.num_heads, self.d_model
@@ -238,11 +330,13 @@ class MultiHeadAttention(nn.Module):
                 deterministic=deterministic,
             )
         else:
-            out = dot_product_attention(
-                q, k, v, bias,
-                dropout_rng=rng, dropout_rate=self.dropout_rate,
-                deterministic=deterministic,
-            )
+            fn = functools.partial(
+                dot_product_attention,
+                dropout_rate=self.dropout_rate,
+                deterministic=deterministic)
+            if self.remat:
+                fn = jax.checkpoint(fn)
+            out = fn(q, k, v, bias, dropout_rng=rng)
         return self.out_proj(out)
 
     def __call__(

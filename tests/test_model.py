@@ -42,23 +42,24 @@ class TestModules:
         # conv k=3 s=2 VALID twice: 64->31->15, 50->24->11, 7->3->1, 3->1->0, 2->0->0
         assert out.tolist() == [15, 11, 1, 0, 0]
 
-    def test_im2col_subsampler_matches_conv(self, rng):
-        """impl='im2col' ≡ impl='conv' (values and grads, shared params)."""
+    @pytest.mark.parametrize("impl", ["im2col", "phase"])
+    def test_matmul_subsamplers_match_conv(self, rng, impl):
+        """impl='im2col'/'phase' ≡ impl='conv' (values, grads, params)."""
         from speech_tranformer_pytorch_tpu.models.modules import (
             Conv2dSubsampling)
         B, T, F = 2, 37, 80
         feats = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
         conv = Conv2dSubsampling(32, channels=16, dtype=jnp.float32,
                                  impl="conv")
-        im2col = Conv2dSubsampling(32, channels=16, dtype=jnp.float32,
-                                   impl="im2col")
+        alt = Conv2dSubsampling(32, channels=16, dtype=jnp.float32,
+                                impl=impl)
         params = conv.init(jax.random.PRNGKey(0), feats)
         # identical param trees (names, shapes) -> checkpoint compatible
-        p2 = im2col.init(jax.random.PRNGKey(0), feats)
+        p2 = alt.init(jax.random.PRNGKey(0), feats)
         assert (jax.tree_util.tree_structure(params)
                 == jax.tree_util.tree_structure(p2))
         out_a = conv.apply(params, feats)
-        out_b = im2col.apply(params, feats)
+        out_b = alt.apply(params, feats)
         assert out_a.shape == out_b.shape
         np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                    rtol=1e-5, atol=1e-5)
@@ -66,11 +67,26 @@ class TestModules:
         def loss(fn, p):
             return jnp.sum(jnp.tanh(fn.apply(p, feats)))
         g_a = jax.grad(lambda p: loss(conv, p))(params)
-        g_b = jax.grad(lambda p: loss(im2col, p))(params)
+        g_b = jax.grad(lambda p: loss(alt, p))(params)
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4),
             g_a, g_b)
+
+    @pytest.mark.parametrize("t", [3, 4, 5, 8])
+    def test_phase_subsampler_edge_lengths(self, rng, t):
+        """phase impl handles minimal/odd time lengths (pad-to-even path)."""
+        from speech_tranformer_pytorch_tpu.models.modules import (
+            Conv2dSubsampling)
+        feats = jnp.asarray(rng.standard_normal((1, t, 9)).astype(np.float32))
+        conv = Conv2dSubsampling(8, channels=4, dtype=jnp.float32,
+                                 impl="conv")
+        phase = Conv2dSubsampling(8, channels=4, dtype=jnp.float32,
+                                  impl="phase")
+        params = conv.init(jax.random.PRNGKey(0), feats)
+        np.testing.assert_allclose(np.asarray(conv.apply(params, feats)),
+                                   np.asarray(phase.apply(params, feats)),
+                                   rtol=1e-5, atol=1e-5)
 
     def test_attention_matches_manual(self, rng):
         B, T, S, H, D = 2, 4, 6, 2, 8
@@ -216,6 +232,36 @@ def test_remat_config_runs_and_matches(rng):
                     jax.tree.leaves(outs[True][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_attention_remat_matches(rng):
+    """attention_remat (default) must give the same loss/grads as saving the
+    softmax-weight residuals (the checkpoint replays identical ops), with
+    dropout active so the rbg bits are exercised through the replay."""
+    base = tiny_config().model.replace(
+        vocab_size=16, d_model=64, num_heads=2, d_ff=128,
+        num_encoder_layers=2, num_decoder_layers=2, dropout_rate=0.1,
+        attention_dropout_rate=0.1, subsample_channels=8)
+    feats = jnp.asarray(rng.standard_normal((2, 64, 80)).astype(np.float32))
+    flens = jnp.array([64, 50])
+    tgt = jnp.asarray(rng.integers(4, 16, (2, 6)).astype(np.int32))
+    tlens = jnp.array([6, 4])
+
+    outs = {}
+    for attn_remat in (False, True):
+        cfg = base.replace(attention_remat=attn_remat)
+        model = SpeechTransformer(cfg)
+        params = model.init({"params": jax.random.PRNGKey(0)}, feats, flens,
+                            tgt, tlens)
+        loss_fn = lambda p: jnp.sum(model.apply(p, feats, flens, tgt, tlens,
+                                                deterministic=False,
+                                                rngs={"dropout": jax.random.PRNGKey(1)}) ** 2)
+        outs[attn_remat] = (float(loss_fn(params)), jax.grad(loss_fn)(params))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[False][1]),
+                    jax.tree.leaves(outs[True][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_scan_layers_matches_loop(rng):
