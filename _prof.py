@@ -15,7 +15,7 @@ step = make_train_step(cfg)
 for _ in range(5):
     state, m = step(state, batch, rng)
 float(jax.device_get(m["loss"]))
-jax.profiler.start_trace("/tmp/prof_rbg")
+jax.profiler.start_trace("/tmp/prof_bw")
 for _ in range(10):
     state, m = step(state, batch, rng)
 float(jax.device_get(m["loss"]))

@@ -110,6 +110,13 @@ class ModelConfig(_Replace):
                                    # default (BENCHMARKS.md)
     scan_layers: bool = False      # nn.scan over encoder layers (fast compile
                                    # for deep presets; stacked param layout)
+    attention_bf16_weights: bool = True  # bf16-residual attention custom VJP
+                                   # (_attn_core_bf16): saves only the bf16
+                                   # softmax weights for backward instead of
+                                   # the f32 tensor; grads carry bf16 rounding
+                                   # of the weights (same approximation as
+                                   # flash attention). Falls back to the plain
+                                   # path when attention dropout is active.
 
     @property
     def head_dim(self) -> int:

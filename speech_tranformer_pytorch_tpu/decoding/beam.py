@@ -4,10 +4,15 @@ beam×vocab, sorted pruning to beam width, length penalty, finished pool).
 
 TPU-first redesign: the whole batch and all beams advance inside ONE
 ``lax.scan``; state is a fixed-shape pytree ``[B, K, ...]``; pruning is
-``lax.top_k`` over the flattened ``K·V`` candidate scores; the KV cache is
-beam-gathered each step (only the self-attention keys/values — cross K/V
-are beam-invariant). The reference re-runs the full prefix each step with
-no KV cache; here each step is O(1) prefix work.
+``lax.top_k`` over the flattened ``K·V`` candidate scores. The reference
+re-runs the full prefix each step with no KV cache; here each step is O(1)
+prefix work. The self-attention KV cache is NEVER physically beam-gathered
+(``use_lineage=True`` default): a [B,K,L] int32 lineage table tracks which
+physical lane wrote each position and attention selects across lanes
+algebraically (models/decoder.py::_lineage_self_attention) — the classic
+per-step cache gather was 32 % of decode device time. ``use_lineage=False``
+keeps the gathering path for comparison. Cross K/V are beam-invariant and
+stored untiled either way.
 
 Candidate selection follows the 2K-candidate scheme (select top-2K, route
 <eos> candidates to the finished pool, keep the best K non-eos as the alive
@@ -72,6 +77,7 @@ def beam_search(
     eos_id: int = EOS,
     pad_id: int = PAD,
     early_stop: bool = True,
+    use_lineage: bool = True,
 ) -> BeamResult:
     b = memory.shape[0]
     k = beam_size
@@ -92,13 +98,22 @@ def beam_search(
     fin_scores = jnp.full((b, k), NEG_INF, jnp.float32)
     fin_lens = jnp.zeros((b, k), jnp.int32)
 
+    # Lineage table for the gather-free self-attention cache scheme
+    # (models/decoder.py::_lineage_self_attention): lineage[b, k, j] is the
+    # physical cache lane holding logical beam k's step-j key/value.
+    # Identity-initialised; columns > current step stay identity by
+    # construction of the prune update below.
+    identity = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :, None],
+                                (b, k, max_len))
+    lineage = identity if use_lineage else None
+
     def step(carry, i):
         (cur_tokens, alive_tokens, alive_scores,
-         fin_tokens, fin_scores, fin_lens, cache) = carry
+         fin_tokens, fin_scores, fin_lens, cache, lineage) = carry
 
         logits, cache = model.apply(
             params, cur_tokens.reshape(b * k), i, cache, mem_lens, k,
-            method=SpeechTransformer.decode_step)          # [B*K, V]
+            lineage, method=SpeechTransformer.decode_step)  # [B*K, V]
         v = logits.shape[-1]
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         log_probs = log_probs.at[:, pad_id].set(NEG_INF)
@@ -139,19 +154,35 @@ def beam_search(
             top_tok, alive_sel, axis=1)
         src_beam = jnp.take_along_axis(top_beam, alive_sel, axis=1)  # [B, K]
 
-        # Beam-gather the self-attention cache (cross K/V beam-invariant).
-        def gather_layer(layer):
-            out = dict(layer)
-            out["self_k"] = _gather_beams(layer["self_k"], src_beam, b, k)
-            out["self_v"] = _gather_beams(layer["self_v"], src_beam, b, k)
-            return out
-        cache_new = {name: gather_layer(layer) for name, layer in cache.items()}
+        if use_lineage:
+            # Compose the beam permutation into the tiny lineage table
+            # instead of physically gathering the KV cache: rows follow the
+            # chosen parents, columns <= i keep the parents' history, and
+            # the just-written column i maps to the parent's lane (its
+            # identity entry); columns > i reset to identity for future
+            # writes. [B,K,L] int32 — O(kB) traffic vs O(MB) cache gather.
+            lin_g = jnp.take_along_axis(lineage, src_beam[:, :, None], axis=1)
+            lineage_new = jnp.where(
+                jnp.arange(max_len, dtype=jnp.int32)[None, None, :] <= i,
+                lin_g, identity)
+            cache_new = cache
+        else:
+            # Beam-gather the self-attention cache (cross K/V beam-invariant).
+            def gather_layer(layer):
+                out = dict(layer)
+                out["self_k"] = _gather_beams(layer["self_k"], src_beam, b, k)
+                out["self_v"] = _gather_beams(layer["self_v"], src_beam, b, k)
+                return out
+            cache_new = {name: gather_layer(layer)
+                         for name, layer in cache.items()}
+            lineage_new = lineage
 
         return (cur_tokens_new, alive_tokens_new, alive_scores_new,
-                fin_tokens_new, fin_scores_new, fin_lens_new, cache_new), None
+                fin_tokens_new, fin_scores_new, fin_lens_new, cache_new,
+                lineage_new), None
 
     init = (cur_tokens, alive_tokens, alive_scores,
-            fin_tokens, fin_scores, fin_lens, cache)
+            fin_tokens, fin_scores, fin_lens, cache, lineage)
     if early_stop:
         # lax.while_loop with the standard bound-based termination: an
         # alive hypothesis's best achievable penalized score is
@@ -178,11 +209,11 @@ def beam_search(
             return i + 1, new_carry
 
         _, (cur_tokens, alive_tokens, alive_scores,
-            fin_tokens, fin_scores, fin_lens, _) = jax.lax.while_loop(
+            fin_tokens, fin_scores, fin_lens, _, _) = jax.lax.while_loop(
             cond, body, (jnp.int32(0), init))
     else:
         (cur_tokens, alive_tokens, alive_scores,
-         fin_tokens, fin_scores, fin_lens, _), _ = jax.lax.scan(
+         fin_tokens, fin_scores, fin_lens, _, _), _ = jax.lax.scan(
             step, init, jnp.arange(max_len, dtype=jnp.int32))
 
     # Merge still-alive beams (ran out of steps) into the pool, penalized at
@@ -210,13 +241,14 @@ def beam_decode(
     max_len: int,
     alpha: float = 1.0,
     early_stop: bool = True,
+    use_lineage: bool = True,
 ) -> BeamResult:
     """encode + beam search as one jittable program."""
     memory, mem_lens = model.apply(params, feats, frame_lens,
                                    method=SpeechTransformer.encode)
     return beam_search(model, params, memory, mem_lens,
                        beam_size=beam_size, max_len=max_len, alpha=alpha,
-                       early_stop=early_stop)
+                       early_stop=early_stop, use_lineage=use_lineage)
 
 
 def best_hypotheses(result: BeamResult):

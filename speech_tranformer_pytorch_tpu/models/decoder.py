@@ -25,6 +25,7 @@ stream. The reference re-runs the full prefix per step instead (SURVEY.md
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Tuple
 
 import flax.linen as nn
@@ -51,11 +52,13 @@ class DecoderLayer(nn.Module):
             dropout_rate=cfg.attention_dropout_rate, dtype=self.dtype,
             use_flash=cfg.use_flash_attention, fused_qkv=cfg.fused_qkv,
             remat=cfg.attention_remat,
+            bf16_weights=cfg.attention_bf16_weights,
             name="self_attn")
         self.cross_attn = MultiHeadAttention(
             cfg.num_heads, cfg.d_model,
             dropout_rate=cfg.attention_dropout_rate, dtype=self.dtype,
             use_flash=cfg.use_flash_attention, remat=cfg.attention_remat,
+            bf16_weights=cfg.attention_bf16_weights,
             name="cross_attn")
         self.ffn = FeedForward(cfg.d_ff, cfg.d_model, cfg.dropout_rate, self.dtype)
         self.ln1 = LayerNorm(self.dtype)
@@ -114,6 +117,7 @@ class DecoderLayer(nn.Module):
         index: jnp.ndarray,        # scalar int32 current position
         cross_bias: jnp.ndarray,   # [B, 1, 1, S]
         beam_width: int = 1,       # static: K beams per utterance
+        lineage: jnp.ndarray | None = None,   # [B, K, max_len] int32
     ) -> Tuple[jnp.ndarray, Cache]:
         max_len = cache["self_k"].shape[1]
 
@@ -125,6 +129,10 @@ class DecoderLayer(nn.Module):
                 cache["self_k"], k_new.astype(cache["self_k"].dtype), index, axis=1)
             self_v = jax.lax.dynamic_update_slice_in_dim(
                 cache["self_v"], v_new.astype(cache["self_v"].dtype), index, axis=1)
+            if lineage is not None and beam_width > 1:
+                out = self._lineage_self_attention(
+                    q_new, self_k, self_v, lineage, index, beam_width)
+                return self.self_attn.out_proj(out), self_k, self_v
             # Mask future (unwritten) cache slots.
             pos_ok = jnp.arange(max_len) <= index                 # [max_len]
             bias = mask_ops.mask_to_bias(pos_ok)[None, None, None, :]
@@ -157,6 +165,59 @@ class DecoderLayer(nn.Module):
             x = self.ln3(x + self.ffn(x, deterministic=True))
         new_cache = dict(cache, self_k=self_k, self_v=self_v)
         return x, new_cache
+
+    def _lineage_self_attention(
+        self,
+        q_new: jnp.ndarray,        # [B·K, 1, H, D] current-token queries
+        self_k: jnp.ndarray,       # [B·K, L, H, D] UNpermuted cache (incl. pos index)
+        self_v: jnp.ndarray,       # [B·K, L, H, D]
+        lineage: jnp.ndarray,      # [B, K, L] int32: physical lane of beam k's
+                                   #   step-j ancestor (identity at j >= index)
+        index: jnp.ndarray,        # scalar int32
+        beam_width: int,
+    ) -> jnp.ndarray:
+        """Gather-free beam self-attention over an unpermuted KV cache.
+
+        The classic batched beam search physically reorders the whole
+        self-attention KV cache by ``src_beam`` every step — at base decode
+        shapes that gather (read+write of [B·K,L,H,D] × 2 × layers) was 32 %
+        of device time (XProf). Here the cache is never permuted; instead a
+        tiny lineage table says which *physical lane* wrote beam ``k``'s
+        step-``j`` entry, and attention selects across lanes algebraically:
+
+          scores_all[b,k,c,j,h] = q[b,k]·K[b,c,j]          (all-lane scores)
+          scores[b,k,j,h]       = Σ_c scores_all·1[lineage[b,k,j]=c]
+          out[b,k]              = Σ_{c,j} (w·1[lineage=c])·V[b,c,j]
+
+        The extra compute is a factor-K on the score/AV einsums — at K=5,
+        L≤~200 that is O(10 MFLOP)/layer/step, noise next to the matmuls —
+        while the dominant HBM stream drops from 3 passes over the cache
+        (gather read+write, attend read) to 1. Exact: each (k,j) selects
+        exactly one lane term, so values equal the gathered-cache attention
+        up to f32-accumulation order.
+        """
+        bk, L, h, d = self_k.shape
+        c = beam_width
+        b = bk // c
+        q = q_new.reshape(b, c, h, d)                          # [B,K,H,D]
+        kc = self_k.reshape(b, c, L, h, d)
+        vc = self_v.reshape(b, c, L, h, d)
+        scores_all = jnp.einsum("bkhd,bcjhd->bkcjh", q, kc,
+                                preferred_element_type=jnp.float32)
+        scores_all = scores_all / math.sqrt(d)
+        onehot = (lineage[:, :, :, None]
+                  == jnp.arange(c, dtype=lineage.dtype)).astype(jnp.float32)
+        # [B,K,L,C] -> select each (k,j)'s single lane.
+        scores = jnp.einsum("bkcjh,bkjc->bkjh", scores_all, onehot)
+        pos_ok = jnp.arange(L) <= index                        # [L]
+        scores = jnp.where(pos_ok[None, None, :, None], scores,
+                           jnp.float32(-1.0e9))
+        weights = jax.nn.softmax(scores, axis=2)               # f32 over j
+        w_sel = (weights.astype(vc.dtype)[:, :, None, :, :]
+                 * onehot.transpose(0, 1, 3, 2)[..., None].astype(vc.dtype))
+        out = jnp.einsum("bkcjh,bcjhd->bkhd", w_sel, vc,
+                         preferred_element_type=jnp.float32)
+        return out.astype(vc.dtype).reshape(bk, 1, h, d)
 
 
 class Decoder(nn.Module):
@@ -244,8 +305,13 @@ class Decoder(nn.Module):
         cache: Cache,
         mem_lens: jnp.ndarray,     # [B] UNtiled memory lengths
         beam_width: int = 1,       # static: K beams per utterance
+        lineage: jnp.ndarray | None = None,   # [B, K, max_len] int32
     ) -> Tuple[jnp.ndarray, Cache]:
-        """One AR step. Returns (logits [B·K, V] f32, updated cache)."""
+        """One AR step. Returns (logits [B·K, V] f32, updated cache).
+
+        ``lineage`` (beam decoding only) switches self-attention to the
+        gather-free unpermuted-cache scheme — see
+        ``DecoderLayer._lineage_self_attention``."""
         s = cache["layer_0"]["cross_k"].shape[1]
         x = self._embed_scaled(tokens[:, None])                 # [B·K,1,d]
         pe = jnp.asarray(sinusoidal_position_encoding(
@@ -259,6 +325,7 @@ class Decoder(nn.Module):
         new_cache: Cache = {}
         for i, layer in enumerate(self.layers):
             x, new_cache[f"layer_{i}"] = layer.decode_step(
-                x, cache[f"layer_{i}"], index, cross_bias, beam_width)
+                x, cache[f"layer_{i}"], index, cross_bias, beam_width,
+                lineage)
         x = self.final_norm(x)
         return self._logits(x)[:, 0, :], new_cache

@@ -44,6 +44,7 @@ class EncoderLayer(nn.Module):
             dropout_rate=cfg.attention_dropout_rate, dtype=self.dtype,
             use_flash=cfg.use_flash_attention, fused_qkv=cfg.fused_qkv,
             remat=cfg.attention_remat,
+            bf16_weights=cfg.attention_bf16_weights,
             name="self_attn")
         ffn = FeedForward(cfg.d_ff, cfg.d_model, cfg.dropout_rate, self.dtype)
         ln1, ln2 = LayerNorm(self.dtype), LayerNorm(self.dtype)

@@ -220,6 +220,62 @@ class Conv2dSubsampling(nn.Module):
         return nn.Dense(self.d_model, dtype=self.dtype)(x)     # [B,T',d_model]
 
 
+@jax.custom_vjp
+def _attn_core_bf16(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    bias: jnp.ndarray) -> jnp.ndarray:
+    """Attention core whose ONLY saved residual for AD is the bf16 weights.
+
+    Plain AD of ``softmax → cast(bf16) → AV`` saves the f32 softmax output
+    [B,H,T,S] and runs the whole softmax backward in f32 — at base encoder
+    shapes that tensor is 64 MB/layer and its fwd residual copy + the f32
+    backward elementwise passes measured ~1.9 ms of a 16 ms train step
+    (XProf). Here forward materializes only the bf16 weights (XLA fuses
+    softmax+cast into one pass once the f32 output has no other consumer)
+    and backward recomputes ``dscores = w·(dw − Σ w·dw)`` from bf16 inputs
+    with f32 arithmetic. Gradients therefore carry bf16 rounding of the
+    weights — the same approximation every flash-attention backward makes
+    (including ours, which recomputes p from bf16 q·k + logsumexp).
+
+    No-dropout core: attention dropout (rate>0, training) falls back to the
+    plain path in ``dot_product_attention``. ``bias`` is the additive mask
+    built from lengths — its returned cotangent is zeros (masks are never
+    trained through; documented contract, enforced nowhere cheaper).
+    """
+    out, _ = _attn_core_bf16_fwd(q, k, v, bias)
+    return out
+
+
+def _attn_core_bf16_fwd(q, k, v, bias):
+    depth = q.shape[-1]
+    scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(depth)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    w = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+    out = jnp.einsum("bhts,bshd->bthd", w, v.astype(jnp.bfloat16))
+    return out.astype(q.dtype), (q, k, v, bias, w)
+
+
+def _attn_core_bf16_bwd(res, dout):
+    q, k, v, bias, w = res
+    depth = q.shape[-1]
+    doutb = dout.astype(jnp.bfloat16)
+    dv = jnp.einsum("bhts,bthd->bshd", w, doutb).astype(v.dtype)
+    dw = jnp.einsum("bthd,bshd->bhts", doutb, v.astype(jnp.bfloat16))
+    w32 = w.astype(jnp.float32)
+    dw32 = dw.astype(jnp.float32)
+    di = jnp.sum(w32 * dw32, axis=-1, keepdims=True)        # [B,H,T,1]
+    ds = (w32 * (dw32 - di) / math.sqrt(depth)).astype(jnp.bfloat16)
+    dq = jnp.einsum("bhts,bshd->bthd", ds, k.astype(jnp.bfloat16)).astype(q.dtype)
+    dk = jnp.einsum("bhts,bthd->bshd", ds, q.astype(jnp.bfloat16)).astype(k.dtype)
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return dq, dk, dv, dbias
+
+
+_attn_core_bf16.defvjp(_attn_core_bf16_fwd, _attn_core_bf16_bwd)
+
+
 def dot_product_attention(
     q: jnp.ndarray,               # [B, T, H, D]
     k: jnp.ndarray,               # [B, S, H, D]
@@ -229,8 +285,15 @@ def dot_product_attention(
     dropout_rng: Optional[jax.Array] = None,
     dropout_rate: float = 0.0,
     deterministic: bool = True,
+    bf16_weights: bool = False,
 ) -> jnp.ndarray:
-    """jnp reference attention; softmax in f32 regardless of input dtype."""
+    """jnp reference attention; softmax in f32 regardless of input dtype.
+
+    ``bf16_weights`` routes through ``_attn_core_bf16`` (bf16-residual
+    custom VJP) whenever no dropout is active."""
+    if (bf16_weights and v.dtype == jnp.bfloat16
+            and (deterministic or dropout_rate == 0.0 or dropout_rng is None)):
+        return _attn_core_bf16(q, k, v, bias)
     depth = q.shape[-1]
     scores = jnp.einsum("bthd,bshd->bhts", q, k,
                         preferred_element_type=jnp.float32)
@@ -271,6 +334,7 @@ class MultiHeadAttention(nn.Module):
     use_flash: bool = False
     fused_qkv: bool = False
     remat: bool = True
+    bf16_weights: bool = False
 
     def setup(self):
         h, d = self.num_heads, self.d_model
@@ -333,7 +397,8 @@ class MultiHeadAttention(nn.Module):
             fn = functools.partial(
                 dot_product_attention,
                 dropout_rate=self.dropout_rate,
-                deterministic=deterministic)
+                deterministic=deterministic,
+                bf16_weights=self.bf16_weights)
             if self.remat:
                 fn = jax.checkpoint(fn)
             out = fn(q, k, v, bias, dropout_rng=rng)

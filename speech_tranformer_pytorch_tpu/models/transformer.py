@@ -55,6 +55,7 @@ class SpeechTransformer(nn.Module):
                    beam_width: int = 1) -> Cache:
         return self.decoder.init_cache(memory, max_len, beam_width)
 
-    def decode_step(self, tokens, index, cache, mem_lens, beam_width: int = 1):
+    def decode_step(self, tokens, index, cache, mem_lens, beam_width: int = 1,
+                    lineage=None):
         return self.decoder.decode_step(tokens, index, cache, mem_lens,
-                                        beam_width)
+                                        beam_width, lineage)

@@ -175,6 +175,26 @@ def test_trained_beam_recovers_transcripts(trained):
     assert hyps == ds.transcripts
 
 
+def test_lineage_equals_gathered_cache(trained):
+    """Gather-free lineage self-attention (default) must reproduce the
+    physically-gathered-cache beam search: same hypotheses, same scores
+    (up to f32 accumulation order — the lineage path selects cache lanes
+    algebraically instead of materializing a permuted cache)."""
+    cfg, model, params, ds, batch = trained
+    lin = jax.jit(lambda p, f, l: beam_decode(
+        model, p, f, l, beam_size=3, max_len=8, use_lineage=True)
+    )(params, batch.feats, batch.frame_lens)
+    gat = jax.jit(lambda p, f, l: beam_decode(
+        model, p, f, l, beam_size=3, max_len=8, use_lineage=False)
+    )(params, batch.feats, batch.frame_lens)
+    np.testing.assert_array_equal(np.asarray(lin.tokens),
+                                  np.asarray(gat.tokens))
+    np.testing.assert_array_equal(np.asarray(lin.lengths),
+                                  np.asarray(gat.lengths))
+    np.testing.assert_allclose(np.asarray(lin.scores),
+                               np.asarray(gat.scores), rtol=2e-5, atol=2e-5)
+
+
 def test_early_stop_equals_full_scan(trained):
     """while_loop early termination must be exact vs the full scan."""
     cfg, model, params, ds, batch = trained

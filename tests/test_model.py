@@ -264,6 +264,44 @@ def test_attention_remat_matches(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_attention_bf16_weights(rng):
+    """bf16-residual attention core (attention_bf16_weights, default):
+    forward must equal the plain path exactly (same softmax-f32 → bf16-cast
+    → AV math), and gradients must agree to bf16-rounding tolerance (the
+    backward consumes bf16 weights instead of the saved f32 tensor)."""
+    base = tiny_config().model.replace(
+        vocab_size=16, d_model=64, num_heads=2, d_ff=128,
+        num_encoder_layers=2, num_decoder_layers=2, dropout_rate=0.0,
+        dtype="bfloat16", subsample_channels=8)
+    feats = jnp.asarray(rng.standard_normal((2, 64, 80)).astype(np.float32))
+    flens = jnp.array([64, 50])
+    tgt = jnp.asarray(rng.integers(4, 16, (2, 6)).astype(np.int32))
+    tlens = jnp.array([6, 4])
+
+    outs = {}
+    for bf16w in (False, True):
+        cfg = base.replace(attention_bf16_weights=bf16w)
+        model = SpeechTransformer(cfg)
+        params = model.init({"params": jax.random.PRNGKey(0)}, feats, flens,
+                            tgt, tlens)
+        fwd = model.apply(params, feats, flens, tgt, tlens)
+        loss_fn = lambda p: jnp.mean(
+            model.apply(p, feats, flens, tgt, tlens) ** 2)
+        outs[bf16w] = (np.asarray(fwd), float(loss_fn(params)),
+                       jax.grad(loss_fn)(params))
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-6)
+    ref_leaves = [np.asarray(x, np.float32)
+                  for x in jax.tree.leaves(outs[False][2])]
+    gscale = max(np.abs(x).max() for x in ref_leaves)
+    for a, b in zip(ref_leaves, jax.tree.leaves(outs[True][2])):
+        b = np.asarray(b, np.float32)
+        assert np.isfinite(b).all()
+        # leaves at bf16-noise magnitude relative to the global gradient
+        # scale are covered by the atol term
+        np.testing.assert_allclose(b, a, rtol=0.05, atol=2e-3 * gscale)
+
+
 def test_scan_layers_matches_loop(rng):
     """nn.scan-stacked encoder == python-loop encoder given identical
     (transplanted) parameters."""
