@@ -142,6 +142,16 @@ class TrainConfig(_Replace):
                                        # ONCE per step for compute (no-op when
                                        # model.dtype is float32); optimizer
                                        # state and checkpoints stay f32
+    fused_optimizer: bool = False      # single-pass Adam+clip
+                                       # (ops/fused_adam.py, impl='xla' or
+                                       # 'pallas'), optax semantics preserved
+                                       # (tested). MEASURED NEUTRAL ('xla',
+                                       # 17.10 vs 17.04 ms base step) or
+                                       # SLOWER ('pallas', 18.48 ms — ~100
+                                       # per-leaf custom-call launches): XLA
+                                       # already fuses the optax chain to the
+                                       # Adam bandwidth floor. Kept as a
+                                       # tested option; BENCHMARKS.md
     dropout_rng_impl: str = "rbg"      # PRNG for dropout masks: "rbg" uses the
                                        # TPU-native XLA RngBitGenerator (bulk
                                        # threefry bits measured 42% of the base

@@ -21,8 +21,9 @@ import optax
 
 from .config import ExperimentConfig
 from .models import SpeechTransformer
+from .ops.fused_adam import FusedAdam
 from .ops.losses import label_smoothed_cross_entropy, token_accuracy
-from .ops.schedules import make_optimizer
+from .ops.schedules import make_optimizer, noam_schedule
 
 
 @flax.struct.dataclass
@@ -128,10 +129,12 @@ def make_train_step(
 ) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jit'd train step. Returns (new_state, metrics)."""
     model = build_model(cfg)
-    if tx is None:
+    fused = tx is None and uses_fused_optimizer(cfg)
+    if fused:
+        fused_opt = make_fused_opt(cfg)
+    elif tx is None:
         tx = make_tx(cfg)
     smoothing = cfg.train.label_smoothing
-    from .ops.schedules import noam_schedule
     lr_schedule = noam_schedule(cfg.model.d_model, cfg.train.warmup_steps,
                                 cfg.train.peak_lr_scale)
     cast_dt = compute_cast_dtype(cfg)
@@ -153,8 +156,15 @@ def make_train_step(
         (loss, (tokens, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         grad_norm = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if fused:
+            # Single-pass Pallas Adam; shares the grad-norm reduction with
+            # the metric (ops/fused_adam.py).
+            params, opt_state = fused_opt.update_apply(
+                grads, state.opt_state, state.params, grad_norm=grad_norm)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
         metrics = {
@@ -201,6 +211,25 @@ def make_tx(cfg: ExperimentConfig) -> optax.GradientTransformation:
         grad_clip_norm=t.grad_clip_norm, weight_decay=t.weight_decay)
 
 
-def create_train_state(cfg: ExperimentConfig, rng: jax.Array, example: Batch) -> TrainState:
+def uses_fused_optimizer(cfg: ExperimentConfig) -> bool:
+    return cfg.train.fused_optimizer
+
+
+def make_fused_opt(cfg: ExperimentConfig) -> FusedAdam:
+    t = cfg.train
+    schedule = noam_schedule(cfg.model.d_model, t.warmup_steps,
+                             t.peak_lr_scale)
+    return FusedAdam(schedule, b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps,
+                     grad_clip_norm=t.grad_clip_norm,
+                     weight_decay=t.weight_decay)
+
+
+def create_train_state(cfg: ExperimentConfig, rng: jax.Array, example: Batch,
+                       *, sharded: bool = False) -> TrainState:
+    """``sharded=True`` builds the optax-chain optimizer state — the mesh
+    train steps (parallel/sharding.py) keep the optax path because GSPMD
+    cannot partition the fused-Adam Pallas call over TP-sharded params."""
     params = init_params(cfg, rng, example)
+    if not sharded and uses_fused_optimizer(cfg):
+        return TrainState.create(params, make_fused_opt(cfg))
     return TrainState.create(params, make_tx(cfg))

@@ -219,3 +219,71 @@ class TestQuantizedDropout:
         y2 = m.apply({}, x, deterministic=False,
                      rngs={"dropout": jax.random.PRNGKey(1)})
         assert (y1 == y2).all()
+
+
+class TestFusedAdam:
+    """Fused Pallas Adam (ops/fused_adam.py) must match the optax chain
+    clip_by_global_norm -> adam(noam) step for step (interpret mode on
+    CPU; the TPU path is the same kernel compiled)."""
+
+    def _trees(self, seed=0):
+        import jax
+        import jax.numpy as jnp
+        k = jax.random.PRNGKey(seed)
+        ks = jax.random.split(k, 6)
+        params = {
+            "w": jax.random.normal(ks[0], (37, 129), jnp.float32),
+            "b": jax.random.normal(ks[1], (129,), jnp.float32),
+            "nested": {"e": jax.random.normal(ks[2], (300,), jnp.float32)},
+        }
+        grads = jax.tree.map(
+            lambda x: jax.random.normal(
+                jax.random.fold_in(ks[3], x.size), x.shape, jnp.float32) *
+                (10.0 if x.ndim == 1 else 0.1),   # exercise clip triggering
+            params)
+        return params, grads
+
+    @pytest.mark.parametrize("impl", ["xla", "pallas"])
+    @pytest.mark.parametrize("clip,wd", [(5.0, 0.0), (0.05, 0.0),
+                                         (5.0, 0.01), (0.0, 0.0)])
+    def test_matches_optax(self, clip, wd, impl):
+        import jax
+        import jax.numpy as jnp
+        from speech_tranformer_pytorch_tpu.ops.fused_adam import FusedAdam
+        from speech_tranformer_pytorch_tpu.ops.schedules import (
+            make_optimizer, noam_schedule)
+        import optax
+
+        params, grads = self._trees()
+        schedule = noam_schedule(64, 100, 1.0)
+        fused = FusedAdam(schedule, b1=0.9, b2=0.98, eps=1e-9,
+                          grad_clip_norm=clip, weight_decay=wd, impl=impl)
+        tx = make_optimizer(64, 100, scale=1.0, b1=0.9, b2=0.98, eps=1e-9,
+                            grad_clip_norm=clip, weight_decay=wd)
+
+        fstate = fused.init(params)
+        ostate = tx.init(params)
+        fp, op = params, params
+        fstep = jax.jit(fused.update_apply)
+        for step in range(4):
+            g = jax.tree.map(lambda x: x * (0.5 ** step), grads)
+            fp, fstate = fstep(g, fstate, fp)
+            updates, ostate = tx.update(g, ostate, op)
+            op = optax.apply_updates(op, updates)
+            for a, b in zip(jax.tree.leaves(op), jax.tree.leaves(fp)):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           rtol=1e-6, atol=1e-7)
+
+    def test_shared_grad_norm_argument(self):
+        import jax
+        import optax
+        from speech_tranformer_pytorch_tpu.ops.fused_adam import FusedAdam
+        from speech_tranformer_pytorch_tpu.ops.schedules import noam_schedule
+        params, grads = self._trees(1)
+        fused = FusedAdam(noam_schedule(64, 100), grad_clip_norm=1.0)
+        st = fused.init(params)
+        p1, _ = fused.update_apply(grads, st, params)
+        p2, _ = fused.update_apply(grads, st, params,
+                                   grad_norm=optax.global_norm(grads))
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

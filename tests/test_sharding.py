@@ -143,7 +143,8 @@ def test_sharded_params_actually_distributed(cfg, batch):
 def test_multi_step_training_under_mesh(cfg, batch):
     """Loss decreases over sharded steps (end-to-end mesh training)."""
     mesh = make_mesh(model_axis_size=2)
-    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
+                               sharded=True)
     sstate = shard_train_state(state, mesh)
     sbatch = jax.tree.map(jax.device_put, batch, batch_shardings(mesh, batch))
     step = make_sharded_train_step(cfg, mesh)(state, batch)
@@ -186,7 +187,8 @@ def test_sharded_audio_train_step(cfg):
 
     pre = make_preprocess_fn(cfg.features, None)
     example = jax.jit(pre)(abatch)
-    state = create_train_state(cfg, jax.random.PRNGKey(0), example)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), example,
+                               sharded=True)
 
     mesh = make_mesh(model_axis_size=2)
     sstate = shard_train_state(state, mesh)
