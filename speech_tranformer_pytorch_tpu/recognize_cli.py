@@ -26,7 +26,10 @@ def main(argv=None):
     ap.add_argument("--beam", type=int, default=None)
     ap.add_argument("--max-len", type=int, default=None)
     ap.add_argument("--alpha", type=float, default=None)
-    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--batch-size", type=int, default=32,
+                    help="utterances per decode batch (measured best "
+                         "throughput at 32 on v5e: +14%% over 16, flat at "
+                         "64 — BENCHMARKS.md)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
