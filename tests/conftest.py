@@ -19,16 +19,21 @@ if "jax" in sys.modules:
         "jax backend already initialized before conftest; platform override too late"
     )
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# ST_TPU_PERF_GATE=1 keeps the real TPU backend so the perf-regression
+# gate (tests/test_perf_gate.py) can run on the chip:
+#   ST_TPU_PERF_GATE=1 python -m pytest tests/test_perf_gate.py -q
+if not os.environ.get("ST_TPU_PERF_GATE"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("ST_TPU_PERF_GATE"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
