@@ -1,11 +1,17 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline (BASELINE.json): audio-seconds/s/chip for Base-config training.
-``vs_baseline`` is measured against REFERENCE_AUDIO_SPS, the recalled
-single-GPU throughput of the PyTorch reference repo family on AISHELL-1
-(~120 audio-s/s on a consumer GPU; BASELINE.md records that no published
-number exists — re-measure when the reference is runnable). Target is
->= 5x (BASELINE.json "north_star").
+Headline (BASELINE.json): audio-seconds/s/chip for Base-config training,
+measured on the END-TO-END production step (raw PCM -> on-device Pallas
+fbank(+CMVN) -> model -> loss -> update, one jit — the Trainer's actual
+step). ``vs_baseline`` is measured against REFERENCE_AUDIO_SPS, the
+recalled single-GPU throughput of the PyTorch reference repo family on
+AISHELL-1 (~120 audio-s/s on a consumer GPU; BASELINE.md records that no
+published number exists — re-measure when the reference is runnable).
+Target is >= 5x (BASELINE.json "north_star").
+
+``build_train_workload`` is shared with the on-chip perf-regression gate
+(tests/test_perf_gate.py) so the gate asserts floors on EXACTLY the
+workload this headline reports.
 
 Usage: python bench.py [--steps N] [--batch B] [--seconds-per-utt S]
 """
@@ -17,35 +23,20 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 REFERENCE_AUDIO_SPS = 120.0  # recalled estimate, single consumer GPU
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=40)
-    ap.add_argument("--warmup", type=int, default=6)
-    ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--seconds-per-utt", type=float, default=10.0)
-    ap.add_argument("--preset", default="base")
-    args = ap.parse_args()
-
-    from speech_tranformer_pytorch_tpu.config import get_config
+def build_train_workload(cfg, batch_size: int, seconds_per_utt: float,
+                         target_tokens: int = 30):
+    """(state, step_fn, audio_batch) for the production audio train step."""
     from speech_tranformer_pytorch_tpu.data.pipeline import (
         AudioBatch, make_audio_train_step, make_preprocess_fn)
     from speech_tranformer_pytorch_tpu.train import create_train_state
 
-    cfg = get_config(args.preset)
-    b = args.batch
-    u = 30                                            # target tokens/utt
-
-    # End-to-end production step: raw PCM -> on-device fbank(+CMVN) ->
-    # model -> loss -> update, all one jit (the Trainer's actual step).
-    # Measured within 2% of the feats-only step — the Pallas STFT+mel
-    # kernel amortizes to ~free in-model (BENCHMARKS.md).
+    b, u = batch_size, target_tokens
     rng = jax.random.PRNGKey(0)
-    n_samples = int(args.seconds_per_utt * cfg.features.sample_rate)
+    n_samples = int(seconds_per_utt * cfg.features.sample_rate)
     audio = jax.random.normal(rng, (b, n_samples), jnp.float32) * 0.1
     sample_lens = jnp.full((b,), n_samples, jnp.int32)
     targets_in = jax.random.randint(rng, (b, u), 4, cfg.model.vocab_size)
@@ -58,23 +49,45 @@ def main():
 
     example = jax.jit(make_preprocess_fn(cfg.features, None))(batch)
     state = create_train_state(cfg, rng, example)
-    step = make_audio_train_step(cfg)
-    step_rng = jax.random.PRNGKey(1)
+    return state, make_audio_train_step(cfg), batch
 
-    # Warmup (compile). NOTE: sync via device_get — block_until_ready does
-    # not fully synchronize over the axon TPU tunnel.
-    for _ in range(args.warmup):
+
+def run_train_bench(cfg, *, batch_size: int, seconds_per_utt: float,
+                    steps: int, warmup: int):
+    """Timed audio-step loop; returns (audio_sps, step_seconds, last_loss).
+
+    Sync via device_get — ``block_until_ready`` does not fully synchronize
+    over the axon TPU tunnel.
+    """
+    state, step, batch = build_train_workload(cfg, batch_size,
+                                              seconds_per_utt)
+    step_rng = jax.random.PRNGKey(1)
+    for _ in range(warmup):
         state, metrics = step(state, batch, step_rng)
     float(jax.device_get(metrics["loss"]))
 
     t0 = time.perf_counter()
-    for _ in range(args.steps):
+    for _ in range(steps):
         state, metrics = step(state, batch, step_rng)
-    float(jax.device_get(metrics["loss"]))
+    loss = float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
+    return batch_size * seconds_per_utt * steps / dt, dt / steps, loss
 
-    audio_seconds = float(b * args.seconds_per_utt * args.steps)
-    audio_sps = audio_seconds / dt
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--warmup", type=int, default=6)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--seconds-per-utt", type=float, default=10.0)
+    ap.add_argument("--preset", default="base")
+    args = ap.parse_args()
+
+    from speech_tranformer_pytorch_tpu.config import get_config
+    cfg = get_config(args.preset)
+    audio_sps, step_s, loss = run_train_bench(
+        cfg, batch_size=args.batch, seconds_per_utt=args.seconds_per_utt,
+        steps=args.steps, warmup=args.warmup)
     n_chips = 1  # single-chip bench (driver runs on one real TPU)
     value = audio_sps / n_chips
 
@@ -84,9 +97,9 @@ def main():
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / REFERENCE_AUDIO_SPS, 2),
     }))
-    print(f"# steps={args.steps} batch={b} secs/utt={args.seconds_per_utt} "
-          f"step_time={dt/args.steps*1000:.1f}ms "
-          f"loss={float(metrics['loss']):.3f} "
+    print(f"# steps={args.steps} batch={args.batch} "
+          f"secs/utt={args.seconds_per_utt} "
+          f"step_time={step_s*1000:.1f}ms loss={loss:.3f} "
           f"backend={jax.default_backend()}", file=sys.stderr)
 
 

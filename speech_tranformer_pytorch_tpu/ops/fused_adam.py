@@ -134,7 +134,8 @@ class FusedAdam:
         lr = self.schedule(state.count).astype(jnp.float32)
         if self.impl == "pallas":
             scalars = jnp.stack([scale, lr, c1, c2])
-            interpret = jax.default_backend() == "cpu"
+            # TPU-only kernel: interpret everywhere else (CPU tests, GPU).
+            interpret = jax.default_backend() != "tpu"
             upd = functools.partial(_update_leaf, scalars=scalars,
                                     b1=self.b1, b2=self.b2, eps=self.eps,
                                     weight_decay=self.weight_decay,

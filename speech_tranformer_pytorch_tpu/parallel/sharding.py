@@ -119,6 +119,19 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     return jax.tree.map(jax.device_put, state, sh)
 
 
+def _check_optax_state(state: TrainState, where: str) -> None:
+    """The mesh steps use the optax chain (GSPMD cannot partition the
+    fused-Adam Pallas call over TP-sharded params); catch the mismatched
+    state early with an actionable message instead of a tree-structure
+    error from deep inside ``tx.update``."""
+    from ..ops.fused_adam import FusedAdamState
+    if isinstance(state.opt_state, FusedAdamState):
+        raise TypeError(
+            f"{where} uses the optax optimizer, but state.opt_state is a "
+            "FusedAdamState (train.fused_optimizer). Build the state with "
+            "create_train_state(..., sharded=True).")
+
+
 def make_sharded_train_step(cfg, mesh: Mesh, *, donate: bool = True):
     """jit the train step with explicit in/out shardings over the mesh.
 
@@ -163,6 +176,7 @@ def make_sharded_train_step(cfg, mesh: Mesh, *, donate: bool = True):
         return new_state, metrics
 
     def with_shardings(state_example: TrainState, batch_example: Batch):
+        _check_optax_state(state_example, "make_sharded_train_step")
         s_sh = state_shardings(mesh, state_example)
         b_sh = batch_shardings(mesh, batch_example)
         m_sh = {k: NamedSharding(mesh, P()) for k in
@@ -230,6 +244,7 @@ def make_sharded_audio_train_step(cfg, mesh: Mesh, *, donate: bool = True):
         return new_state, metrics
 
     def with_shardings(state_example: TrainState, batch_example):
+        _check_optax_state(state_example, "make_sharded_audio_train_step")
         s_sh = state_shardings(mesh, state_example)
         b_sh = audio_batch_shardings(mesh, batch_example)
         m_sh = {k: NamedSharding(mesh, P()) for k in

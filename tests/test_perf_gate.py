@@ -4,15 +4,16 @@ than ship").
 
 These tests SKIP off-TPU (the CI suite runs on CPU with virtual devices);
 on the real chip they fail if training throughput or decode RTF regresses
-past the floors below. Floors are set ~20 % under the measured numbers in
+past the bounds below. Bounds sit 20-50 % off the measured numbers in
 BENCHMARKS.md (19.4k audio-s/s train, beam-5 RTF 0.00020 at B=16) so
 tunnel jitter doesn't flake, while real regressions (a kernel falling off
 its fused path, an accidental f32 activation, a cache gather creeping
 back) trip them.
 
-Run manually on the chip:  python -m pytest tests/test_perf_gate.py -q
-(the conftest CPU pin is overridden here via a subprocess-free check of
-the actual backend).
+Run on the chip (the env var stops conftest.py pinning the CPU backend —
+without it every test here just skips):
+
+    ST_TPU_PERF_GATE=1 python -m pytest tests/test_perf_gate.py -q
 """
 
 import functools
@@ -36,37 +37,18 @@ def _sync(x):
 
 @requires_tpu
 def test_train_throughput_floor():
+    """Runs bench.py's exact headline workload (shared builder) so the
+    gate and BENCHMARKS.md can't measure different things."""
+    import bench
     from speech_tranformer_pytorch_tpu.config import get_config
-    from speech_tranformer_pytorch_tpu.data.pipeline import (
-        AudioBatch, make_audio_train_step, make_preprocess_fn)
-    from speech_tranformer_pytorch_tpu.train import create_train_state
 
-    cfg = get_config("base")
-    b, secs, u = 32, 10.0, 30
-    rng = jax.random.PRNGKey(0)
-    n = int(secs * cfg.features.sample_rate)
-    audio = jax.random.normal(rng, (b, n), jnp.float32) * 0.1
-    ti = jax.random.randint(rng, (b, u), 4, cfg.model.vocab_size)
-    ti = ti.at[:, 0].set(1)
-    to = jnp.concatenate([ti[:, 1:], jnp.full((b, 1), 2, jnp.int32)], 1)
-    batch = AudioBatch(audio, jnp.full((b,), n, jnp.int32), ti, to,
-                       jnp.full((b,), u, jnp.int32), jnp.ones((b,), bool))
-    example = jax.jit(make_preprocess_fn(cfg.features, None))(batch)
-    state = create_train_state(cfg, rng, example)
-    step = make_audio_train_step(cfg)
-    r = jax.random.PRNGKey(1)
-    for _ in range(6):
-        state, m = step(state, batch, r)
-    _sync(m["loss"])
-    steps = 30
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = step(state, batch, r)
-    _sync(m["loss"])
-    sps = b * secs * steps / (time.perf_counter() - t0)
+    sps, step_s, _ = bench.run_train_bench(
+        get_config("base"), batch_size=32, seconds_per_utt=10.0,
+        steps=30, warmup=6)
     assert sps > TRAIN_AUDIO_SPS_FLOOR, (
-        f"train throughput regressed: {sps:.0f} audio-s/s < floor "
-        f"{TRAIN_AUDIO_SPS_FLOOR:.0f} (BENCHMARKS.md measured 19.4k)")
+        f"train throughput regressed: {sps:.0f} audio-s/s "
+        f"({step_s*1e3:.1f} ms/step) < floor {TRAIN_AUDIO_SPS_FLOOR:.0f} "
+        f"(BENCHMARKS.md measured 19.4k)")
 
 
 @requires_tpu
