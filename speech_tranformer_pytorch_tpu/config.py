@@ -99,6 +99,16 @@ class ModelConfig(_Replace):
     use_flash_attention: bool = False  # Pallas flash-attn; XLA fused attention
                                        # measured faster at speech seq lens (<=1536),
                                        # enable for memory-bound long-context runs
+    attention_impl: str = "auto"   # encoder self-attention routing:
+                                   # 'auto' = follow use_flash_attention;
+                                   # 'dot'/'flash' = force that core;
+                                   # 'ring' = frame-axis-sharded ring
+                                   # attention over the 'model' mesh axis
+                                   # (parallel/ring_attention.py) for long
+                                   # buckets whose [T,T] workspace exceeds
+                                   # one chip — requires constructing the
+                                   # model with a mesh (the sharded step/
+                                   # decode builders do this)
     remat: bool = False            # jax.checkpoint each block (HBM for FLOPs)
     attention_remat: bool = False  # jax.checkpoint the jnp attention core:
                                    # AD recomputes softmax weights in the bwd
@@ -252,6 +262,12 @@ class ExperimentConfig:
                         f"('im2col', 'conv', 'phase')")
         if self.decode.beam_size < 1:
             errs.append("decode.beam_size must be >= 1")
+        if m.attention_impl not in ("auto", "dot", "flash", "ring"):
+            errs.append(f"model.attention_impl {m.attention_impl!r} not in "
+                        f"('auto', 'dot', 'flash', 'ring')")
+        if m.attention_impl == "ring" and m.attention_dropout_rate > 0.0:
+            errs.append("attention_impl='ring' does not support attention "
+                        "dropout (set model.attention_dropout_rate=0.0)")
         if self.mesh.model_axis >= 1 and m.num_heads % self.mesh.model_axis != 0:
             errs.append(f"num_heads {m.num_heads} not divisible by TP degree "
                         f"{self.mesh.model_axis}")

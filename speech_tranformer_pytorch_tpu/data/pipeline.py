@@ -192,15 +192,21 @@ class BucketedBatcher:
             epoch_index=epoch_index, shuffle=self.shuffle,
             drop_remainder=self.drop_remainder)
 
-    def epoch(self, epoch_index: int,
-              skip_batches: int = 0) -> Iterator[AudioBatch]:
+    def epoch(self, epoch_index: int, skip_batches: int = 0,
+              with_rows: bool = False) -> Iterator:
         """Host-sharded epoch stream (see ``plan_epoch`` for the multi-host
         parity argument). ``skip_batches`` resumes mid-epoch without any
-        audio IO for the skipped batches (the plan is metadata-only)."""
+        audio IO for the skipped batches (the plan is metadata-only).
+
+        ``with_rows=True`` yields ``(AudioBatch, entry_indices)`` so callers
+        that need row identity (decode/eval: hypothesis↔reference pairing)
+        share this single batch-composition path instead of re-deriving it
+        (the reference pairs hyp/ref trivially in its per-utterance loop)."""
         for p in self.plan(epoch_index)[skip_batches:]:
-            yield self._make_batch(
-                list(p.global_idxs[self.shard_index::self.num_shards]),
-                p.bucket, pad_to_batch=p.pad_to_batch)
+            idxs = list(p.global_idxs[self.shard_index::self.num_shards])
+            batch = self._make_batch(idxs, p.bucket,
+                                     pad_to_batch=p.pad_to_batch)
+            yield (batch, idxs) if with_rows else batch
 
     def _make_batch(self, idxs: List[int], bucket: int,
                     *, pad_to_batch: bool = False) -> AudioBatch:

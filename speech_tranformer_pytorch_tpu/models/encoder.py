@@ -27,6 +27,7 @@ from .modules import (Conv2dSubsampling, FeedForward, LayerNorm,
 class EncoderLayer(nn.Module):
     cfg: ModelConfig
     dtype: jnp.dtype
+    mesh: Optional[object] = None   # jax.sharding.Mesh for attention_impl='ring'
 
     @nn.compact
     def __call__(
@@ -39,12 +40,16 @@ class EncoderLayer(nn.Module):
         cfg = self.cfg
         drop = lambda y: Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
 
+        impl = getattr(cfg, "attention_impl", "auto")
+        use_flash = (cfg.use_flash_attention if impl == "auto"
+                     else impl == "flash")
         attn = MultiHeadAttention(
             cfg.num_heads, cfg.d_model,
             dropout_rate=cfg.attention_dropout_rate, dtype=self.dtype,
-            use_flash=cfg.use_flash_attention, fused_qkv=cfg.fused_qkv,
+            use_flash=use_flash, fused_qkv=cfg.fused_qkv,
             remat=cfg.attention_remat,
             bf16_weights=cfg.attention_bf16_weights,
+            use_ring=(impl == "ring"), ring_mesh=self.mesh,
             name="self_attn")
         ffn = FeedForward(cfg.d_ff, cfg.d_model, cfg.dropout_rate, self.dtype)
         ln1, ln2 = LayerNorm(self.dtype), LayerNorm(self.dtype)
@@ -70,6 +75,7 @@ class _ScanEncoderBody(nn.Module):
     cfg: ModelConfig
     dtype: jnp.dtype
     deterministic: bool = True
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, bias, lengths):
@@ -77,13 +83,14 @@ class _ScanEncoderBody(nn.Module):
         if self.cfg.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=(4,),
                                  prevent_cse=False)
-        y = layer_cls(self.cfg, self.dtype, name="layer")(
+        y = layer_cls(self.cfg, self.dtype, mesh=self.mesh, name="layer")(
             x, bias, lengths, self.deterministic)
         return y, None
 
 
 class Encoder(nn.Module):
     cfg: ModelConfig
+    mesh: Optional[object] = None   # device mesh for attention_impl='ring'
 
     @nn.compact
     def __call__(
@@ -121,8 +128,8 @@ class Encoder(nn.Module):
                 length=cfg.num_encoder_layers,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )
-            x, _ = scanned(cfg, dtype, deterministic, name="layers")(
-                x, bias, out_lens)
+            x, _ = scanned(cfg, dtype, deterministic, mesh=self.mesh,
+                           name="layers")(x, bias, out_lens)
         else:
             layer_cls = EncoderLayer
             if cfg.remat:
@@ -130,7 +137,7 @@ class Encoder(nn.Module):
                 # det=4)
                 layer_cls = nn.remat(EncoderLayer, static_argnums=(4,))
             for i in range(cfg.num_encoder_layers):
-                x = layer_cls(cfg, dtype, name=f"layer_{i}")(
+                x = layer_cls(cfg, dtype, mesh=self.mesh, name=f"layer_{i}")(
                     x, bias, out_lens, deterministic)
 
         x = LayerNorm(dtype, name="final_norm")(x)

@@ -335,6 +335,12 @@ class MultiHeadAttention(nn.Module):
     fused_qkv: bool = False
     remat: bool = True
     bf16_weights: bool = False
+    # attention_impl='ring' (config.py): shard the frame axis over the
+    # 'model' mesh axis with shard_map ring attention (SURVEY.md §5
+    # long-context). The mesh is a static module attribute threaded in by
+    # the sharded step/decode builders; encoder self-attention only.
+    use_ring: bool = False
+    ring_mesh: Optional["jax.sharding.Mesh"] = None
 
     def setup(self):
         h, d = self.num_heads, self.d_model
@@ -385,7 +391,23 @@ class MultiHeadAttention(nn.Module):
         rng = None
         if not deterministic and self.dropout_rate > 0.0:
             rng = self.make_rng("dropout")
-        if self.use_flash and deterministic is not None:
+        if self.use_ring:
+            if self.ring_mesh is None:
+                raise ValueError(
+                    "attention_impl='ring' needs a device mesh: construct "
+                    "the model with SpeechTransformer(cfg, mesh=mesh) (the "
+                    "parallel.sharding step builders and "
+                    "parallel.decode builders do this automatically)")
+            if causal or kv_lengths is None:
+                raise ValueError("ring attention supports only non-causal "
+                                 "length-masked self-attention")
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+            from ..parallel.ring_attention import ring_self_attention
+            batch_axis = (DATA_AXIS if DATA_AXIS in self.ring_mesh.axis_names
+                          else None)
+            out = ring_self_attention(q, k, v, kv_lengths, self.ring_mesh,
+                                      axis=MODEL_AXIS, batch_axis=batch_axis)
+        elif self.use_flash and deterministic is not None:
             from ..kernels.interface import flash_attention
             out = flash_attention(
                 q, k, v, bias=bias, causal=causal,

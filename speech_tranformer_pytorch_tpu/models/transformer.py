@@ -10,7 +10,7 @@ methods back the lax.scan greedy/beam drivers in ``decoding/``.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -23,9 +23,13 @@ from .encoder import Encoder
 
 class SpeechTransformer(nn.Module):
     cfg: ModelConfig
+    # Device mesh, threaded to the encoder for attention_impl='ring'
+    # (frame-axis-sharded ring attention). Static hyperparameter; None for
+    # single-device use. The parallel.* step/decode builders pass it.
+    mesh: Optional[object] = None
 
     def setup(self):
-        self.encoder = Encoder(self.cfg, name="encoder")
+        self.encoder = Encoder(self.cfg, mesh=self.mesh, name="encoder")
         self.decoder = Decoder(self.cfg, name="decoder")
 
     def __call__(

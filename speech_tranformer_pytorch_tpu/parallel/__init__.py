@@ -5,4 +5,4 @@ from .sharding import (audio_batch_shardings, batch_shardings,
                        state_shardings)
 from .decode import make_sharded_beam_decode, make_sharded_greedy_decode
 from .beam_exchange import distributed_topk
-from .ring_attention import ring_attention
+from .ring_attention import ring_attention, ring_self_attention

@@ -4,8 +4,11 @@ K/V blocks around the ICI ring with ``lax.ppermute`` while accumulating
 online-softmax statistics; reference has nothing comparable).
 
 Used for the Large/Sharded long-bucket configs when a single chip cannot
-hold the full [T, T] attention workspace. Flag-gated; numerically equal to
-full attention (golden-tested on the fake 8-device mesh).
+hold the full [T, T] attention workspace. Flag-gated via
+``model.attention_impl='ring'`` (config.py), which routes encoder
+self-attention through :func:`ring_self_attention`; numerically equal to
+full attention (golden-tested on the fake 8-device mesh, standalone and
+in-model).
 """
 
 from __future__ import annotations
@@ -71,9 +74,15 @@ def ring_attention(
     mesh: Mesh,
     *,
     axis: str = MODEL_AXIS,
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Frame-axis-sharded attention; equals full softmax(QK^T)V with
-    key-padding masking. S must be divisible by the ring size."""
+    key-padding masking. S must be divisible by the ring size.
+
+    ``batch_axis`` additionally shards the batch dim over that mesh axis
+    (the in-model DP×ring layout: batch over 'data', frames over 'model');
+    ``None`` replicates the batch over every non-ring axis.
+    """
     n = mesh.shape[axis]
     b, t, h, d = q.shape
     s = k.shape[1]
@@ -91,9 +100,35 @@ def ring_attention(
     fn = shard_map(
         lambda q_, k_, v_, lens_: body(q_, k_, v_, lens_[:, 0]),
         mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(None, axis),
-                  P(None, axis)),
-        out_specs=P(None, axis),
+        in_specs=(P(batch_axis, axis), P(batch_axis, axis),
+                  P(batch_axis, axis), P(batch_axis, axis)),
+        out_specs=P(batch_axis, axis),
         check_vma=False,
     )
     return fn(q, k, v, len_per_shard)
+
+
+def ring_self_attention(
+    q: jnp.ndarray,             # [B, T, H, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lengths: jnp.ndarray,       # [B] valid frame counts
+    mesh: Mesh,
+    *,
+    axis: str = MODEL_AXIS,
+    batch_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Encoder self-attention entry point: pads the frame axis up to a
+    multiple of the ring size (subsampled speech lengths are rarely
+    divisible), runs :func:`ring_attention`, slices back. Padded *key*
+    columns are masked via ``lengths``; padded *query* rows produce zeros
+    (``l==0`` guard) and are discarded by the slice."""
+    n = mesh.shape[axis]
+    t = q.shape[1]
+    t_pad = ((t + n - 1) // n) * n
+    if t_pad != t:
+        pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    out = ring_attention(q, k, v, lengths, mesh, axis=axis,
+                         batch_axis=batch_axis)
+    return out[:, :t] if t_pad != t else out

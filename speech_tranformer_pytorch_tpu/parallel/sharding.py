@@ -147,7 +147,7 @@ def make_sharded_train_step(cfg, mesh: Mesh, *, donate: bool = True):
     from ..ops.losses import label_smoothed_cross_entropy, token_accuracy
     import jax.numpy as jnp
 
-    model = SpeechTransformer(cfg.model)
+    model = SpeechTransformer(cfg.model, mesh=mesh)
     smoothing = cfg.train.label_smoothing
     cast_dt = compute_cast_dtype(cfg)
     rng_impl = cfg.train.dropout_rng_impl
@@ -211,7 +211,7 @@ def make_sharded_audio_train_step(cfg, mesh: Mesh, *, donate: bool = True):
                          rekey_dropout)
 
     tx = make_tx(cfg)
-    model = SpeechTransformer(cfg.model)
+    model = SpeechTransformer(cfg.model, mesh=mesh)
     preprocess = make_preprocess_fn(cfg.features, cfg.spec_augment)
     smoothing = cfg.train.label_smoothing
     cast_dt = compute_cast_dtype(cfg)

@@ -79,6 +79,7 @@ class Recognizer:
         max_len: Optional[int] = None,
         alpha: Optional[float] = None,
         batch_size: int = 16,
+        max_frames_per_batch: int = 0,
         out_path: Optional[str] = None,
     ) -> Dict[str, float]:
         d = self.cfg.decode
@@ -92,39 +93,66 @@ class Recognizer:
             bucket_boundaries=self.cfg.data.bucket_boundaries,
             target_len=min(self.cfg.data.max_target_len,
                            self.cfg.model.max_target_positions),
-            shuffle=False, drop_remainder=False)
+            shuffle=False, drop_remainder=False,
+            max_frames_per_batch=max_frames_per_batch)
 
-        # Track utterance order: batcher yields in bucket order; reconstruct
-        # refs per row via the batcher's own index stream.
+        def _batch_max_len(abatch: AudioBatch) -> int:
+            if d.max_len_ratio <= 0:
+                return max_len
+            # Cap decode steps by the bucket's subsampled frame count
+            # (shape-static per bucket => at most one extra compile per
+            # bucket; reference caps per utterance in its python loop).
+            enc_frames = int(abatch.audio.shape[1]
+                             // self.cfg.features.frame_shift) // 4
+            return max(4, min(max_len, int(d.max_len_ratio * enc_frames)))
+
+        sr = self.cfg.features.sample_rate
         refs, hyps, utt_ids = [], [], []
-        audio_seconds = 0.0
-        # warmup compile excluded from RTF
-        t_decode = 0.0
-        for abatch, rows in _batches_with_rows(batcher):
-            batch_max_len = max_len
-            if d.max_len_ratio > 0:
-                # Cap decode steps by the bucket's subsampled frame count
-                # (shape-static per bucket => at most one extra compile per
-                # bucket; reference caps per utterance in its python loop).
-                enc_frames = int(abatch.audio.shape[1]
-                                 // self.cfg.features.frame_shift) // 4
-                batch_max_len = max(4, min(
-                    max_len, int(d.max_len_ratio * enc_frames)))
+        audio_total = t_total = 0.0
+        # Steady-state RTF: the first call at each (shape, decode-args) key
+        # includes XLA compilation — count it in rtf_with_compile but keep
+        # it out of the headline RTF (the steady-state number is what an
+        # N-batch production eval converges to).
+        audio_steady = t_steady = 0.0
+        seen_shapes = set()
+        for abatch, rows in batcher.epoch(0, with_rows=True):
+            bml = _batch_max_len(abatch)
+            key = (abatch.audio.shape, beam_size, bml, alpha)
             t0 = time.perf_counter()
             out = self.decode_batch(abatch, beam_size=beam_size,
-                                    max_len=batch_max_len, alpha=alpha)
-            t1 = time.perf_counter()
-            t_decode += t1 - t0
+                                    max_len=bml, alpha=alpha)
+            dt = time.perf_counter() - t0
+            batch_audio = sum(ds.entries[i]["num_samples"] for i in rows) / sr
+            t_total += dt
+            audio_total += batch_audio
+            if key in seen_shapes:
+                t_steady += dt
+                audio_steady += batch_audio
+            else:
+                seen_shapes.add(key)
             for row, idx in enumerate(rows):
                 e = ds.entries[idx]
                 refs.append(e["tokens"])
                 hyps.append(out[row])
                 utt_ids.append(e["utt_id"])
-                audio_seconds += e["num_samples"] / self.cfg.features.sample_rate
+
+        if audio_steady == 0.0 and audio_total > 0.0:
+            # Every batch was a first-of-shape (compile) call — small
+            # manifest. Re-run the epoch through the now-warm executables
+            # so the reported RTF is still compile-free.
+            for abatch, rows in batcher.epoch(0, with_rows=True):
+                bml = _batch_max_len(abatch)
+                t0 = time.perf_counter()
+                self.decode_batch(abatch, beam_size=beam_size,
+                                  max_len=bml, alpha=alpha)
+                t_steady += time.perf_counter() - t0
+                audio_steady += sum(
+                    ds.entries[i]["num_samples"] for i in rows) / sr
 
         scores = cer(refs, hyps)
-        scores["rtf"] = t_decode / max(audio_seconds, 1e-9)
-        scores["audio_seconds"] = audio_seconds
+        scores["rtf"] = t_steady / max(audio_steady, 1e-9)
+        scores["rtf_with_compile"] = t_total / max(audio_total, 1e-9)
+        scores["audio_seconds"] = audio_total
         scores["utterances"] = float(len(hyps))
 
         if out_path:
@@ -136,26 +164,6 @@ class Recognizer:
                                         "text": text},
                                        ensure_ascii=False) + "\n")
         return scores
-
-
-def _batches_with_rows(batcher: BucketedBatcher):
-    """Yield (AudioBatch, manifest_row_indices) preserving identity."""
-    # Reimplements the bucket walk to expose indices (shuffle=False).
-    order = list(range(len(batcher.ds)))
-    order = order[batcher.shard_index::batcher.num_shards]
-    buckets: Dict[int, List[int]] = {}
-    for idx in order:
-        e = batcher.ds.entries[idx]
-        from .data.pipeline import _frames_for_samples
-        b = batcher._bucket_of(_frames_for_samples(e["num_samples"],
-                                                   batcher.ds.fcfg))
-        buckets.setdefault(b, []).append(idx)
-        if len(buckets[b]) == batcher.batch_size:
-            idxs = buckets.pop(b)
-            yield batcher._make_batch(idxs, b), idxs
-    for b, idxs in sorted(buckets.items()):
-        if idxs:
-            yield batcher._make_batch(idxs, b, pad_to_batch=True), idxs
 
 
 def load_recognizer(cfg: ExperimentConfig, checkpoint_dir: str,

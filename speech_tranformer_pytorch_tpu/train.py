@@ -116,6 +116,11 @@ def rekey_dropout(k: jax.Array, impl: str) -> jax.Array:
 
 
 def init_params(cfg: ExperimentConfig, rng: jax.Array, example: Batch) -> Any:
+    # The attention impl does not change the parameter tree, so init always
+    # runs the plain dot-product core — 'ring' needs a mesh that only the
+    # sharded step builders have, and init must work mesh-less.
+    if cfg.model.attention_impl == "ring":
+        cfg = cfg.replace(model=cfg.model.replace(attention_impl="dot"))
     model = build_model(cfg)
     return model.init({"params": rng}, example.feats, example.frame_lens,
                       example.targets_in, example.target_lens)
