@@ -18,7 +18,7 @@ batch granularity with zero IO for the skipped batches
 
 from __future__ import annotations
 
-from typing import Iterator, List, Sequence
+from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -142,19 +142,87 @@ class GrainBucketedPipeline:
                           jnp.asarray(tin), jnp.asarray(tout),
                           jnp.asarray(tlens), jnp.asarray(valid))
 
+    def _grain_iter(self, seq: Sequence[int]):
+        ds = gp.MapDataset.source(_PermutedSource(self.source, seq))
+        if self.num_workers > 0:
+            return iter(ds.to_iter_dataset().mp_prefetch(
+                gp.MultiprocessingOptions(num_workers=self.num_workers)))
+        return iter(ds.to_iter_dataset(read_options=gp.ReadOptions(
+            num_threads=4, prefetch_buffer_size=32)))
+
     def epoch(self, epoch_index: int,
               skip_batches: int = 0) -> Iterator[AudioBatch]:
         plans = self.plan(epoch_index)[skip_batches:]
         host_rows = [p.global_idxs[self.shard_index::self.num_shards]
                      for p in plans]
         seq: List[int] = [i for rows in host_rows for i in rows]
-        ds = gp.MapDataset.source(_PermutedSource(self.source, seq))
-        if self.num_workers > 0:
-            it = iter(ds.to_iter_dataset().mp_prefetch(
-                gp.MultiprocessingOptions(num_workers=self.num_workers)))
-        else:
-            it = iter(ds.to_iter_dataset(read_options=gp.ReadOptions(
-                num_threads=4, prefetch_buffer_size=32)))
+        it = self._grain_iter(seq)
         for p, rows in zip(plans, host_rows):
             items = [next(it) for _ in rows]
             yield self._assemble(items, p.bucket, p.pad_to_batch)
+
+    def epoch_iterator(self, epoch_index: int = 0,
+                       state: Optional[dict] = None) -> "GrainEpochIterator":
+        """Checkpointable epoch iterator carrying grain's NATIVE iterator
+        state (SURVEY.md §5 "grain checkpointable iterators").
+
+        ``state`` (from :meth:`GrainEpochIterator.get_state`) resumes the
+        stream exactly where it stopped: grain ``set_state`` repositions the
+        IO cursor without re-reading consumed records. Equivalent to the
+        metadata-only plan-skip resume (``epoch(e, skip_batches=n)``) —
+        bit-exactness of the two paths is tested under frame-budget
+        batching and multi-host sharding in ``tests/test_data.py``."""
+        if state is not None:
+            epoch_index = int(state["epoch_index"])
+        plans = self.plan(epoch_index)
+        host_rows = [p.global_idxs[self.shard_index::self.num_shards]
+                     for p in plans]
+        seq: List[int] = [i for rows in host_rows for i in rows]
+        it = self._grain_iter(seq)
+        start = 0
+        if state is not None:
+            it.set_state(dict(state["grain"]))
+            start = int(state["batches_yielded"])
+        return GrainEpochIterator(self, epoch_index, plans, host_rows, it,
+                                  start)
+
+
+class GrainEpochIterator:
+    """Epoch iterator whose :meth:`get_state` snapshot round-trips through
+    ``GrainBucketedPipeline.epoch_iterator(state=...)`` for an exact resume.
+
+    The snapshot holds grain's own iterator state (the IO cursor) plus the
+    batch cursor into the epoch plan — both host-side ints, JSON-safe.
+
+    NOTE: if this iterator feeds a prefetcher, its state counts batches
+    *yielded into the prefetch buffer*, which runs ahead of what the
+    consumer has used. A training loop should checkpoint the number of
+    batches it has CONSUMED and resume with plan-skip
+    (``epoch(e, skip_batches=n)``) — the Trainer does exactly that; the two
+    resume paths are tested equivalent."""
+
+    def __init__(self, pipeline: GrainBucketedPipeline, epoch_index: int,
+                 plans, host_rows, grain_iter, start_batch: int):
+        self._pipeline = pipeline
+        self._epoch_index = epoch_index
+        self._plans = plans
+        self._host_rows = host_rows
+        self._it = grain_iter
+        self._pos = start_batch
+
+    def __iter__(self) -> "GrainEpochIterator":
+        return self
+
+    def __next__(self) -> AudioBatch:
+        if self._pos >= len(self._plans):
+            raise StopIteration
+        p = self._plans[self._pos]
+        rows = self._host_rows[self._pos]
+        items = [next(self._it) for _ in rows]
+        self._pos += 1
+        return self._pipeline._assemble(items, p.bucket, p.pad_to_batch)
+
+    def get_state(self) -> dict:
+        return {"epoch_index": self._epoch_index,
+                "batches_yielded": self._pos,
+                "grain": dict(self._it.get_state())}

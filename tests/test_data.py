@@ -263,6 +263,54 @@ class TestGrainPipeline:
                     np.testing.assert_array_equal(np.asarray(fa),
                                                   np.asarray(fb))
 
+    def test_grain_native_iterator_state_resume_bit_exact(self, corpus):
+        """Grain's NATIVE checkpointable-iterator state (epoch_iterator /
+        get_state / set_state round-trip) resumes bit-exactly, and agrees
+        with the plan-skip resume path — under frame-budget batching AND
+        multi-host sharding, the config where plan replay is most likely to
+        drift from grain's own accounting (SURVEY.md §5 checkpoint/resume
+        "grain checkpointable iterators"; VERDICT r1 item #5)."""
+        import json
+
+        from speech_tranformer_pytorch_tpu.data.grain_pipeline import \
+            GrainBucketedPipeline
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16), fcfg)
+
+        def assert_batches_equal(xs, ys):
+            assert len(xs) == len(ys)
+            for a, b in zip(xs, ys):
+                for fa, fb in zip(jax.tree_util.tree_leaves(a),
+                                  jax.tree_util.tree_leaves(b)):
+                    np.testing.assert_array_equal(np.asarray(fa),
+                                                  np.asarray(fb))
+
+        for shard in range(2):
+            pipe = GrainBucketedPipeline(
+                ds, batch_size=4, bucket_boundaries=(100, 200), target_len=8,
+                seed=3, shard_index=shard, num_shards=2,
+                drop_remainder=False, max_frames_per_batch=200)
+            full = list(pipe.epoch(1))
+            assert len(full) >= 3, "fixture too small to test mid-epoch resume"
+
+            it = pipe.epoch_iterator(1)
+            head = [next(it) for _ in range(2)]
+            state = it.get_state()
+            # The snapshot must survive serialization (it rides a JSON/text
+            # sidecar in a real checkpoint).
+            state = json.loads(json.dumps(state))
+            tail_rest_of_first = list(it)
+
+            # (a) interrupted + native set_state resume == uninterrupted
+            tail_native = list(pipe.epoch_iterator(state=state))
+            assert_batches_equal(head + tail_native, full)
+            # (b) the in-flight iterator itself continued correctly
+            assert_batches_equal(tail_rest_of_first, tail_native)
+            # (c) native resume == metadata-only plan-skip resume (the
+            #     Trainer's production path)
+            tail_skip = list(pipe.epoch(1, skip_batches=2))
+            assert_batches_equal(tail_skip, tail_native)
+
     def test_grain_multihost_batch_count_parity(self, corpus):
         """All shards yield the same number of batches (no deadlock)."""
         from speech_tranformer_pytorch_tpu.data.grain_pipeline import \
