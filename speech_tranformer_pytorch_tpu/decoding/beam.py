@@ -115,14 +115,13 @@ def beam_search(
             params, cur_tokens.reshape(b * k), i, cache, mem_lens, k,
             lineage, method=SpeechTransformer.decode_step)  # [B*K, V]
         v = logits.shape[-1]
-        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        log_probs = log_probs.at[:, pad_id].set(NEG_INF)
-        log_probs = log_probs.at[:, sos_id].set(NEG_INF)
-        log_probs = log_probs.reshape(b, k, v)
-
-        cand = alive_scores[:, :, None] + log_probs        # [B, K, V]
-        flat = cand.reshape(b, k * v)
-        top_scores, top_idx = jax.lax.top_k(flat, 2 * k)   # [B, 2K]
+        # Fused candidate scoring + prune (kernels/beam_prune.py): one
+        # Pallas pass replaces log_softmax + two masked sets + add +
+        # lax.top_k over [B, K·V] — the top_k alone was ~100 us/step
+        # (9.6 % of decode) on XProf at B=32.
+        from ..kernels.interface import beam_candidate_topk
+        top_scores, top_idx = beam_candidate_topk(
+            logits, alive_scores, k2=2 * k, pad_id=pad_id, sos_id=sos_id)
         top_beam = top_idx // v
         top_tok = (top_idx % v).astype(jnp.int32)
 

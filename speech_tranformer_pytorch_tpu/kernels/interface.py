@@ -54,3 +54,18 @@ def flash_attention(
     return dot_product_attention(
         q, k, v, bias, dropout_rng=dropout_rng,
         dropout_rate=dropout_rate, deterministic=deterministic)
+
+
+def beam_candidate_topk(logits, alive_scores, *, k2, pad_id=0, sos_id=1):
+    """Fused log-softmax + mask + beam-score add + top-k2 of the beam
+    candidate scores (kernels/beam_prune.py); jnp reference off-TPU.
+    Bit-identical results either way, including lax.top_k tie order."""
+    from .beam_prune import candidate_topk, candidate_topk_reference
+    if _pallas_ok():
+        try:
+            return candidate_topk(logits, alive_scores, k2=k2,
+                                  pad_id=pad_id, sos_id=sos_id)
+        except (NotImplementedError, ImportError):
+            pass
+    return candidate_topk_reference(logits, alive_scores, k2=k2,
+                                    pad_id=pad_id, sos_id=sos_id)

@@ -12,13 +12,19 @@ Two execution modes, both static-shape:
 Cache layout (per layer l), where the step batch is ``B·K`` rows (K = beam
 width, K=1 for greedy):
   self_k/self_v   : [B·K, max_len, H, D]  written at position ``index``
-  cross_k/cross_v : [B,   S,       H, D]  precomputed once from encoder memory
+  cross_k/cross_v : [B, H, S, D]  head-major, precomputed once from memory
+
+The cross cache is HEAD-MAJOR (batch dims of the per-step attention dots
+leading) because it is write-once/read-every-step — the one-time transpose
+at init makes every decode-step dot layout-native. The self cache stays in
+the activation-natural [rows, L, H, D] layout: the head-major variant was
+tried and measured SLOWER (see ``_lineage_self_attention`` layout note).
 
 Cross K/V are beam-INVARIANT, so they are stored untiled and the K beams
 fold into the query rows of cross-attention (attention over S is
 independent per query position, so this is exact). At base config this is
-the dominant decode-step HBM traffic — [B·K,S,H,D]×2×layers ≈ 246 MB/step
-tiled vs 49 MB untiled at B=16, K=5, S=250 — a ~5× cut on the biggest
+the dominant decode-step HBM traffic — tiled-per-beam would be ≈ 246
+MB/step vs 49 MB untiled at B=16, K=5, S=250 — a ~5× cut on the biggest
 stream. The reference re-runs the full prefix per step instead (SURVEY.md
 §3.2); nothing upstream stores a tiled cross cache to compare against.
 """
@@ -102,13 +108,17 @@ class DecoderLayer(nn.Module):
     # ----- step decoding ---------------------------------------------------
 
     def init_layer_cache(self, memory: jnp.ndarray, batch: int, max_len: int) -> Cache:
-        """``memory`` is UNtiled [B,S,d]; ``batch`` is the step batch B·K."""
+        """``memory`` is UNtiled [B,S,d]; ``batch`` is the step batch B·K.
+        Caches come out head-major (module docstring): the one-time
+        transpose here buys relayout-free attention dots in every decode
+        step."""
         cfg = self.cfg
         h, d = cfg.num_heads, cfg.d_model // cfg.num_heads
-        ck, cv = self.cross_attn.project_kv(memory)
+        ck, cv = self.cross_attn.project_kv(memory)           # [B,S,H,D]
         zeros = jnp.zeros((batch, max_len, h, d), self.dtype)
         return {"self_k": zeros, "self_v": jnp.zeros_like(zeros),
-                "cross_k": ck, "cross_v": cv}
+                "cross_k": ck.transpose(0, 2, 1, 3),          # [B,H,S,D]
+                "cross_v": cv.transpose(0, 2, 1, 3)}
 
     def decode_step(
         self,
@@ -124,7 +134,7 @@ class DecoderLayer(nn.Module):
         def self_attend(h):
             # One fused matmul gives q of the current token AND its k/v
             # cache entries (three matmuls on the unfused path).
-            q_new, k_new, v_new = self.self_attn.project_qkv(h)  # [B,1,H,D]
+            q_new, k_new, v_new = self.self_attn.project_qkv(h)  # [B·K,1,H,D]
             self_k = jax.lax.dynamic_update_slice_in_dim(
                 cache["self_k"], k_new.astype(cache["self_k"].dtype), index, axis=1)
             self_v = jax.lax.dynamic_update_slice_in_dim(
@@ -145,7 +155,7 @@ class DecoderLayer(nn.Module):
             # utterance per step instead of once per beam.
             bk, _, d = h.shape
             b = bk // beam_width
-            out = self.cross_attn.attend(
+            out = self.cross_attn.attend_bhsd(
                 h.reshape(b, beam_width, d),
                 cache["cross_k"], cache["cross_v"], cross_bias)
             return out.reshape(bk, 1, d)
@@ -195,6 +205,15 @@ class DecoderLayer(nn.Module):
         (gather read+write, attend read) to 1. Exact: each (k,j) selects
         exactly one lane term, so values equal the gathered-cache attention
         up to f32-accumulation order.
+
+        Layout note (measured, head-major rejected): XLA relayouts the
+        cache to [B,H,C,L,D] for these (b,h)-batched dots, a per-step copy.
+        Storing the cache head-major to pre-empt the copy made things WORSE
+        — XLA then lowered the rank-5 dots through slow window emitters and
+        re-inserted full-cache bitcast copies (beam-5 B=32: 55.4 -> 70.2
+        ms/batch). The activation-natural layout + relayout copy is the
+        faster XLA lowering; removing the copy for real needs a kernel that
+        consumes the native layout, not a layout fight with XLA.
         """
         bk, L, h, d = self_k.shape
         c = beam_width
@@ -312,7 +331,7 @@ class Decoder(nn.Module):
         ``lineage`` (beam decoding only) switches self-attention to the
         gather-free unpermuted-cache scheme — see
         ``DecoderLayer._lineage_self_attention``."""
-        s = cache["layer_0"]["cross_k"].shape[1]
+        s = cache["layer_0"]["cross_k"].shape[2]   # [B,H,S,D]
         x = self._embed_scaled(tokens[:, None])                 # [B·K,1,d]
         pe = jnp.asarray(sinusoidal_position_encoding(
             self.cfg.max_target_positions, self.cfg.d_model))

