@@ -18,6 +18,8 @@ Usage: python bench.py [--steps N] [--batch B] [--seconds-per-utt S]
 
 import argparse
 import json
+import os
+import pathlib
 import sys
 import time
 
@@ -25,6 +27,19 @@ import jax
 import jax.numpy as jnp
 
 REFERENCE_AUDIO_SPS = 120.0  # recalled estimate, single consumer GPU
+
+# Persistent XLA compilation cache: the driver-run bench previously timed
+# out because >95% of the ~11-min wall was XLA compile over the axon
+# tunnel (BENCH_r02.json rc=124 while the timed steps cost <1 s). The
+# cache dir is repo-local and committed, so a warm round compiles nothing.
+_CACHE_DIR = pathlib.Path(__file__).resolve().parent / ".xla_cache"
+
+
+def enable_compilation_cache():
+    _CACHE_DIR.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def build_train_workload(cfg, batch_size: int, seconds_per_utt: float,
@@ -75,6 +90,7 @@ def run_train_bench(cfg, *, batch_size: int, seconds_per_utt: float,
 
 
 def main():
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--warmup", type=int, default=6)

@@ -172,6 +172,10 @@ class TrainConfig(_Replace):
     checkpoint_every_steps: int = 1000
     keep_checkpoints: int = 5
     eval_every_steps: int = 2000
+    dev_decode_batches: int = 4        # dev-CER decode sample size per eval
+                                       # (0 = decode the full dev set; a
+                                       # partial decode is logged as
+                                       # "cer_sampled", not "cer")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -268,6 +268,15 @@ def make_audio_train_step(cfg: ExperimentConfig, *, donate: bool = True):
     SURVEY.md §2.1 native-checklist row 1)."""
     from ..train import TrainState, make_train_step
 
+    if jax.process_count() > 1:
+        raise RuntimeError(
+            "make_audio_train_step is collective-free: under a "
+            "multi-process launch each process would train on its own data "
+            "shard with NO gradient all-reduce — silently divergent "
+            "replicas. Use parallel.sharding.make_sharded_audio_train_step "
+            "under a mesh (runner.Trainer selects it automatically when "
+            "jax.process_count() > 1).")
+
     preprocess = make_preprocess_fn(cfg.features, cfg.spec_augment)
     inner = make_train_step(cfg, donate=False)  # we jit the composition
 

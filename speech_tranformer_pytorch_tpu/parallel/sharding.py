@@ -139,15 +139,14 @@ def make_sharded_train_step(cfg, mesh: Mesh, *, donate: bool = True):
     inserted by GSPMD — no hand-written communication (SURVEY.md §5
     "Distributed communication backend").
     """
-    from ..train import (cast_params, compute_cast_dtype, dropout_key,
-                         make_tx)
+    from ..train import (build_model, cast_params, compute_cast_dtype,
+                         dropout_key, make_tx)
 
     tx = make_tx(cfg)
-    from ..models import SpeechTransformer
     from ..ops.losses import label_smoothed_cross_entropy, token_accuracy
     import jax.numpy as jnp
 
-    model = SpeechTransformer(cfg.model, mesh=mesh)
+    model = build_model(cfg, mesh=mesh)
     smoothing = cfg.train.label_smoothing
     cast_dt = compute_cast_dtype(cfg)
     rng_impl = cfg.train.dropout_rng_impl
@@ -199,23 +198,74 @@ def audio_batch_shardings(mesh: Mesh, batch) -> Any:
                       targets_out=ds(2), target_lens=ds(1), valid=ds(1))
 
 
+def globalize_audio_batch(mesh: Mesh, abatch) -> Any:
+    """Assemble a host-local AudioBatch into global arrays sharded over the
+    mesh's 'data' axis. Under multi-process launches every host contributes
+    its shard (all hosts follow the same metadata-only epoch plan, so
+    shapes agree); single-process this is a device_put onto the mesh."""
+    import numpy as np
+    sh = audio_batch_shardings(mesh, abatch)
+    return jax.tree.map(
+        lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        abatch, sh)
+
+
+def make_sharded_audio_eval_step(cfg, mesh: Mesh):
+    """Sharded counterpart of ``runner.make_audio_eval_step``: deterministic
+    dev loss over a 'data'-sharded AudioBatch with TP-sharded params. The
+    token-weighted reductions inside the loss become global sums under
+    GSPMD, so the returned (per-token loss, token count) match the
+    unsharded step bit-for-bit on the same global batch."""
+    import jax.numpy as jnp
+
+    from ..data.pipeline import make_preprocess_fn
+    from ..ops.losses import label_smoothed_cross_entropy
+    from ..train import build_model, cast_params, compute_cast_dtype
+
+    model = build_model(cfg, mesh=mesh)
+    preprocess = make_preprocess_fn(cfg.features, None)
+    smoothing = cfg.train.label_smoothing
+    cast_dt = compute_cast_dtype(cfg)
+
+    def step(params, abatch):
+        batch = preprocess(abatch)
+        logits = model.apply(cast_params(params, cast_dt), batch.feats,
+                             batch.frame_lens, batch.targets_in,
+                             batch.target_lens)
+        tgt = jnp.where(abatch.valid[:, None], batch.targets_out, 0)
+        loss, tokens = label_smoothed_cross_entropy(
+            logits, tgt, smoothing=smoothing)
+        return {"loss": loss, "tokens": tokens}
+
+    def with_shardings(params_example, batch_example):
+        p_sh = param_shardings(mesh, params_example)
+        b_sh = audio_batch_shardings(mesh, batch_example)
+        m_sh = {k: NamedSharding(mesh, P()) for k in ("loss", "tokens")}
+        return jax.jit(step, in_shardings=(p_sh, b_sh), out_shardings=m_sh)
+
+    return with_shardings
+
+
 def make_sharded_audio_train_step(cfg, mesh: Mesh, *, donate: bool = True):
     """Sharded fused (on-device fbank -> SpecAugment -> model -> update)
     step over raw AudioBatch — the full production path under the mesh."""
     import jax.numpy as jnp
 
     from ..data.pipeline import make_preprocess_fn
-    from ..models import SpeechTransformer
     from ..ops.losses import label_smoothed_cross_entropy, token_accuracy
-    from ..train import (cast_params, compute_cast_dtype, make_tx,
-                         rekey_dropout)
+    from ..ops.schedules import noam_schedule
+    from ..train import (build_model, cast_params, compute_cast_dtype,
+                         make_tx, rekey_dropout)
 
     tx = make_tx(cfg)
-    model = SpeechTransformer(cfg.model, mesh=mesh)
+    model = build_model(cfg, mesh=mesh)
     preprocess = make_preprocess_fn(cfg.features, cfg.spec_augment)
     smoothing = cfg.train.label_smoothing
     cast_dt = compute_cast_dtype(cfg)
     rng_impl = cfg.train.dropout_rng_impl
+    lr_schedule = noam_schedule(cfg.model.d_model, cfg.train.warmup_steps,
+                                cfg.train.peak_lr_scale)
+    shift_s = cfg.features.frame_shift_ms / 1000.0
 
     def step(state: TrainState, abatch, rng: jax.Array):
         aug_key, dropout_rng = jax.random.split(
@@ -240,7 +290,9 @@ def make_sharded_audio_train_step(cfg, mesh: Mesh, *, donate: bool = True):
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
         metrics = {"loss": loss, "grad_norm": grad_norm, "tokens": tokens,
-                   "accuracy": acc}
+                   "accuracy": acc, "lr": lr_schedule(state.step + 1),
+                   "audio_seconds":
+                       jnp.sum(batch.frame_lens).astype(jnp.float32) * shift_s}
         return new_state, metrics
 
     def with_shardings(state_example: TrainState, batch_example):
@@ -248,7 +300,8 @@ def make_sharded_audio_train_step(cfg, mesh: Mesh, *, donate: bool = True):
         s_sh = state_shardings(mesh, state_example)
         b_sh = audio_batch_shardings(mesh, batch_example)
         m_sh = {k: NamedSharding(mesh, P()) for k in
-                ("loss", "grad_norm", "tokens", "accuracy")}
+                ("loss", "grad_norm", "tokens", "accuracy", "lr",
+                 "audio_seconds")}
         return jax.jit(
             step,
             in_shardings=(s_sh, b_sh, NamedSharding(mesh, P())),

@@ -30,13 +30,24 @@ from .utils.checkpoint import Checkpointer, CheckpointState
 
 class Recognizer:
     def __init__(self, cfg: ExperimentConfig, params, *,
-                 tokenizer=None):
+                 tokenizer=None, mesh=None):
+        """``mesh``: a single-process ``jax.sharding.Mesh`` routes decoding
+        through the sharded builders (parallel/decode.py) — batch over
+        'data', params over the TP rules — for multi-chip serving on one
+        host. Mesh-less construction substitutes ring->dot via build_model
+        (ring-trained checkpoints decode unchanged)."""
         self.cfg = cfg
+        self.mesh = mesh
         # Inference never updates params: cast the f32 checkpoint tree to the
         # compute dtype ONCE at load, halving weight HBM reads per decode step.
-        from .train import cast_params, compute_cast_dtype
+        from .train import build_model, cast_params, compute_cast_dtype
         self.params = cast_params(params, compute_cast_dtype(cfg))
-        self.model = SpeechTransformer(cfg.model)
+        self.model = build_model(cfg, mesh=mesh)
+        if mesh is not None:
+            from .parallel.sharding import param_shardings
+            self.params = jax.tree.map(
+                jax.device_put, self.params,
+                param_shardings(mesh, self.params))
         self.tokenizer = tokenizer
         self.preprocess = jax.jit(make_preprocess_fn(cfg.features, None))
         self._beam_fns = {}
@@ -45,7 +56,17 @@ class Recognizer:
         key = (beam_size, max_len, alpha)
         if key not in self._beam_fns:
             model = self.model
-            if beam_size == 1:
+            if self.mesh is not None:
+                from .parallel.decode import (make_sharded_beam_decode,
+                                              make_sharded_greedy_decode)
+                if beam_size == 1:
+                    fn = make_sharded_greedy_decode(
+                        model, self.mesh, max_len=max_len)(self.params)
+                else:
+                    fn = make_sharded_beam_decode(
+                        model, self.mesh, beam_size=beam_size,
+                        max_len=max_len, alpha=alpha)(self.params)
+            elif beam_size == 1:
                 fn = jax.jit(lambda p, f, l: greedy_decode_jit(
                     model, p, f, l, max_len=max_len))
             else:
@@ -57,6 +78,9 @@ class Recognizer:
 
     def decode_batch(self, abatch: AudioBatch, *, beam_size: int,
                      max_len: int, alpha: float) -> List[List[int]]:
+        if self.mesh is not None:
+            from .parallel.sharding import globalize_audio_batch
+            abatch = globalize_audio_batch(self.mesh, abatch)
         batch = self.preprocess(abatch)
         fn = self._beam_fn(beam_size, max_len, alpha)
         out = fn(self.params, batch.feats, batch.frame_lens)
@@ -95,6 +119,13 @@ class Recognizer:
                            self.cfg.model.max_target_positions),
             shuffle=False, drop_remainder=False,
             max_frames_per_batch=max_frames_per_batch)
+        if self.mesh is not None:
+            # The 'data' axis must divide every batch's row count; round
+            # each bucket's batch size up (remainder batches already pad to
+            # the bucket size, padded rows carry valid=False).
+            dp = int(self.mesh.shape.get("data", 1))
+            batcher.bucket_batch_sizes = [
+                -(-b // dp) * dp for b in batcher.bucket_batch_sizes]
 
         def _batch_max_len(abatch: AudioBatch) -> int:
             if d.max_len_ratio <= 0:
@@ -102,8 +133,14 @@ class Recognizer:
             # Cap decode steps by the bucket's subsampled frame count
             # (shape-static per bucket => at most one extra compile per
             # bucket; reference caps per utterance in its python loop).
-            enc_frames = int(abatch.audio.shape[1]
-                             // self.cfg.features.frame_shift) // 4
+            # Exact conv math — the same subsampled_lengths the encoder
+            # applies — not the //4 approximation, which was off by a few
+            # frames at bucket boundaries.
+            from .data.pipeline import _frames_for_samples
+            from .models.modules import subsampled_lengths
+            frames = _frames_for_samples(int(abatch.audio.shape[1]),
+                                         self.cfg.features)
+            enc_frames = int(subsampled_lengths(np.asarray(frames)))
             return max(4, min(max_len, int(d.max_len_ratio * enc_frames)))
 
         sr = self.cfg.features.sample_rate
@@ -167,7 +204,8 @@ class Recognizer:
 
 
 def load_recognizer(cfg: ExperimentConfig, checkpoint_dir: str,
-                    *, vocab_path: Optional[str] = None) -> Recognizer:
+                    *, vocab_path: Optional[str] = None,
+                    mesh=None) -> Recognizer:
     """Build a Recognizer from the latest checkpoint in ``checkpoint_dir``."""
     from .data.synthetic import batch_from_dataset, make_synthetic_dataset
 
@@ -181,4 +219,4 @@ def load_recognizer(cfg: ExperimentConfig, checkpoint_dir: str,
                                cfg.model_hash())
     _, restored = ckpt.restore(template)
     tok = load_tokenizer(vocab_path) if vocab_path else None
-    return Recognizer(cfg, restored.state.params, tokenizer=tok)
+    return Recognizer(cfg, restored.state.params, tokenizer=tok, mesh=mesh)

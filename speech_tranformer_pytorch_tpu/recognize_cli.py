@@ -31,6 +31,10 @@ def main(argv=None):
                          "throughput at 32 on v5e: +14%% over 16, flat at "
                          "64 — BENCHMARKS.md)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--mesh", choices=("auto", "on", "off"), default="auto",
+                    help="'auto': sharded decode over a ('data','model') "
+                         "mesh when mesh.model_axis>1 (TP-trained "
+                         "checkpoints); 'on' forces it; 'off' single-device")
     args = ap.parse_args(argv)
 
     # Prefer the exact training config saved by train_cli; --preset/--set
@@ -53,9 +57,13 @@ def main(argv=None):
         cfg = resolve_config(args)
     manifest = args.manifest or os.path.join(args.data_dir,
                                              f"{args.split}.jsonl")
+    mesh = None
+    if args.mesh == "on" or (args.mesh == "auto" and cfg.mesh.model_axis > 1):
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(cfg.mesh)
     from .recognize import load_recognizer
     rec = load_recognizer(cfg, os.path.join(args.work_dir, "checkpoints"),
-                          vocab_path=cfg.data.vocab_path or None)
+                          vocab_path=cfg.data.vocab_path or None, mesh=mesh)
     scores = rec.decode_manifest(
         manifest, beam_size=args.beam, max_len=args.max_len,
         alpha=args.alpha, batch_size=args.batch_size, out_path=args.out)

@@ -18,7 +18,6 @@ import numpy as np
 from .config import ExperimentConfig
 from .data.pipeline import (AudioBatch, BucketedBatcher, ManifestDataset,
                             make_audio_train_step, make_preprocess_fn)
-from .models import SpeechTransformer
 from .ops.losses import label_smoothed_cross_entropy
 from .train import TrainState, create_train_state
 from .utils.checkpoint import Checkpointer, CheckpointState
@@ -27,7 +26,8 @@ from .utils.logging import MetricsLogger
 
 def make_audio_eval_step(cfg: ExperimentConfig):
     """Deterministic dev loss over an AudioBatch, masking eval-padding rows."""
-    model = SpeechTransformer(cfg.model)
+    from .train import build_model
+    model = build_model(cfg)
     preprocess = make_preprocess_fn(cfg.features, None)
     smoothing = cfg.train.label_smoothing
 
@@ -54,10 +54,34 @@ class Trainer:
         train_manifest: Optional[str] = None,
         dev_manifest: Optional[str] = None,
         resume: bool = False,
+        mesh: object = "auto",
     ):
+        """``mesh``: "auto" (default) builds a ('data','model') mesh over all
+        devices whenever the launch is multi-process or cfg.mesh.model_axis
+        > 1 — the production SPMD path (sharded train/eval/decode steps,
+        GSPMD gradient all-reduce; SURVEY.md §3.1 "one jit'd train_step …
+        under mesh"). Pass a ``jax.sharding.Mesh`` to force mesh mode on
+        specific devices, or ``None`` to force the collective-free
+        single-process path (refused under multi-process launches — it
+        would train silently-divergent replicas)."""
         self.cfg = cfg
         self.work_dir = work_dir
         t = cfg.train
+
+        from jax.sharding import Mesh
+        if mesh == "auto":
+            use_mesh = (jax.process_count() > 1 or cfg.mesh.model_axis > 1)
+            self.mesh = None
+            if use_mesh:
+                from .parallel.mesh import make_mesh
+                self.mesh = make_mesh(cfg.mesh)
+        elif isinstance(mesh, Mesh):
+            self.mesh = mesh
+        elif mesh is None:
+            self.mesh = None
+        else:
+            raise TypeError(f"mesh must be 'auto', None, or a Mesh; "
+                            f"got {mesh!r}")
         self.train_ds = ManifestDataset(
             train_manifest or cfg.data.train_manifest, cfg.data, cfg.features)
         self.dev_ds = None
@@ -98,15 +122,33 @@ class Trainer:
                 shard_index=shard_index, num_shards=num_shards,
                 drop_remainder=False, shuffle=False)
 
-        self.step_fn = make_audio_train_step(cfg)
-        self.eval_fn = make_audio_eval_step(cfg)
         self.logger = MetricsLogger(work_dir, console_every=1)
         self.ckpt = Checkpointer(f"{work_dir}/checkpoints",
                                  max_to_keep=t.keep_checkpoints)
 
-        # Init (or template for restore).
-        example = self._example_batch()
-        self.state = create_train_state(cfg, jax.random.PRNGKey(t.seed), example)
+        # Init (or template for restore), then the step functions — in mesh
+        # mode the sharded builders need example state/batch for shardings.
+        abatch_example = self._example_audio_batch()
+        example = jax.jit(make_preprocess_fn(cfg.features, None))(
+            abatch_example)
+        self.state = create_train_state(cfg, jax.random.PRNGKey(t.seed),
+                                        example,
+                                        sharded=self.mesh is not None)
+        if self.mesh is not None:
+            from .parallel.sharding import (make_sharded_audio_eval_step,
+                                            make_sharded_audio_train_step,
+                                            shard_train_state)
+            self.state = shard_train_state(self.state, self.mesh)
+            sharded_step = make_sharded_audio_train_step(cfg, self.mesh)(
+                self.state, abatch_example)
+            sharded_eval = make_sharded_audio_eval_step(cfg, self.mesh)(
+                self.state.params, abatch_example)
+            self.step_fn = lambda st, ab, rng: sharded_step(
+                st, self._globalize(ab), rng)
+            self.eval_fn = lambda p, ab: sharded_eval(p, self._globalize(ab))
+        else:
+            self.step_fn = make_audio_train_step(cfg)
+            self.eval_fn = make_audio_eval_step(cfg)
         self.rng = jax.random.PRNGKey(t.seed + 1)
         self.start_epoch = 0
         self.start_batch = 0
@@ -127,13 +169,12 @@ class Trainer:
             print(f"resumed from step {step} "
                   f"(epoch {self.start_epoch}, batch {self.start_batch})")
 
-    def _example_batch(self) -> AudioBatch:
-        from .train import Batch
-        it = iter(self.batcher.epoch(0))
-        abatch = next(it)
-        pre = make_preprocess_fn(self.cfg.features, None)
-        b = jax.jit(pre)(abatch)
-        return b
+    def _example_audio_batch(self) -> AudioBatch:
+        return next(iter(self.batcher.epoch(0)))
+
+    def _globalize(self, abatch: AudioBatch) -> AudioBatch:
+        from .parallel.sharding import globalize_audio_batch
+        return globalize_audio_batch(self.mesh, abatch)
 
     def train(self, *, max_steps: Optional[int] = None) -> TrainState:
         cfg = self.cfg
@@ -201,49 +242,85 @@ class Trainer:
         return self.state
 
     def evaluate(self, *, decode_cer: bool = False,
-                 max_decode_batches: int = 4) -> Dict[str, float]:
+                 max_decode_batches: Optional[int] = None) -> Dict[str, float]:
+        """Dev loss (all batches) + greedy CER. The CER decode covers
+        ``max_decode_batches`` batches (default cfg.train.dev_decode_batches;
+        0 = the full dev set): a sampled decode is reported as
+        ``cer_sampled`` so it is never mistaken for the full dev CER that
+        ``Recognizer.decode_manifest`` computes."""
+        if max_decode_batches is None:
+            max_decode_batches = self.cfg.train.dev_decode_batches
         total_loss, total_tokens = 0.0, 0.0
         refs, hyps = [], []
         decode_fns = {}
+        sampled = False
         for bi, abatch in enumerate(self.dev_batcher.epoch(0)):
             m = self.eval_fn(self.state.params, abatch)
             tokens = float(jax.device_get(m["tokens"]))
             total_loss += float(jax.device_get(m["loss"])) * tokens
             total_tokens += tokens
-            if decode_cer and bi < max_decode_batches:
-                refs_b, hyps_b = self._greedy_batch(abatch, decode_fns)
-                refs.extend(refs_b)
-                hyps.extend(hyps_b)
+            if decode_cer:
+                if max_decode_batches <= 0 or bi < max_decode_batches:
+                    refs_b, hyps_b = self._greedy_batch(abatch, decode_fns)
+                    refs.extend(refs_b)
+                    hyps.extend(hyps_b)
+                else:
+                    sampled = True
         out = {"loss": total_loss / max(total_tokens, 1.0),
                "tokens": total_tokens}
         if decode_cer and refs:
             from .ops.metrics import cer
-            out["cer"] = cer(refs, hyps)["cer"]
+            out["cer_sampled" if sampled else "cer"] = cer(refs, hyps)["cer"]
         return out
 
     def _greedy_batch(self, abatch: AudioBatch, fns: Dict) -> tuple:
-        """Greedy-decode one dev AudioBatch; returns (refs, hyps) lists."""
+        """Greedy-decode one dev AudioBatch; returns (refs, hyps) lists.
+
+        Mesh mode decodes the globalized batch through the sharded greedy
+        path (parallel/decode.py) and all-gathers hypotheses AND references
+        from the global arrays, so every host scores the same full batch
+        (only host 0 logs)."""
         import numpy as np
 
         from .data.tokenizer import EOS
         from .decoding import greedy_decode_jit, tokens_to_lists
+        from .train import build_model
 
-        model = SpeechTransformer(self.cfg.model)
+        model = build_model(self.cfg, mesh=self.mesh)
         pre = make_preprocess_fn(self.cfg.features, None)
-        batch = jax.jit(pre)(abatch)
-        key = batch.feats.shape
-        if key not in fns:
-            max_len = min(self.cfg.decode.max_decode_len,
-                          self.cfg.model.max_target_positions - 1)
-            fns[key] = jax.jit(lambda p, f, l: greedy_decode_jit(
-                model, p, f, l, max_len=max_len))
-        tokens, lengths = fns[key](self.state.params, batch.feats,
-                                   batch.frame_lens)
+        max_len = min(self.cfg.decode.max_decode_len,
+                      self.cfg.model.max_target_positions - 1)
+        if self.mesh is None:
+            batch = jax.jit(pre)(abatch)
+            key = batch.feats.shape
+            if key not in fns:
+                fns[key] = jax.jit(lambda p, f, l: greedy_decode_jit(
+                    model, p, f, l, max_len=max_len))
+            tokens, lengths = fns[key](self.state.params, batch.feats,
+                                       batch.frame_lens)
+            tout = np.asarray(abatch.targets_out)
+            tlens = np.asarray(abatch.target_lens)
+            valid = np.asarray(abatch.valid)
+        else:
+            from jax.experimental import multihost_utils
+
+            from .parallel.decode import make_sharded_greedy_decode
+            gbatch = self._globalize(abatch)
+            batch = jax.jit(pre)(gbatch)
+            key = batch.feats.shape
+            if key not in fns:
+                fns[key] = make_sharded_greedy_decode(
+                    model, self.mesh, max_len=max_len)(self.state.params)
+            tokens, lengths = fns[key](self.state.params, batch.feats,
+                                       batch.frame_lens)
+            gather = lambda x: np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+            tokens, lengths = gather(tokens), gather(lengths)
+            tout = gather(gbatch.targets_out)
+            tlens = gather(gbatch.target_lens)
+            valid = gather(gbatch.valid)
         hyps_all = tokens_to_lists(tokens, lengths)
         refs, hyps = [], []
-        tout = np.asarray(abatch.targets_out)
-        tlens = np.asarray(abatch.target_lens)
-        valid = np.asarray(abatch.valid)
         for row in range(tout.shape[0]):
             if not valid[row]:
                 continue

@@ -55,8 +55,16 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def build_model(cfg: ExperimentConfig) -> SpeechTransformer:
-    return SpeechTransformer(cfg.model)
+def build_model(cfg: ExperimentConfig, mesh=None) -> SpeechTransformer:
+    """Model constructor shared by every driver. ``attention_impl='ring'``
+    needs a device mesh; mesh-less construction (init, eval, inference,
+    greedy dev decode) substitutes the numerically-identical dot core —
+    ring does not change the param tree or (deterministic) outputs, so
+    checkpoints trained with ring load and decode unchanged."""
+    mcfg = cfg.model
+    if mcfg.attention_impl == "ring" and mesh is None:
+        mcfg = mcfg.replace(attention_impl="dot")
+    return SpeechTransformer(mcfg, mesh=mesh)
 
 
 def compute_cast_dtype(cfg: ExperimentConfig):
@@ -116,11 +124,8 @@ def rekey_dropout(k: jax.Array, impl: str) -> jax.Array:
 
 
 def init_params(cfg: ExperimentConfig, rng: jax.Array, example: Batch) -> Any:
-    # The attention impl does not change the parameter tree, so init always
-    # runs the plain dot-product core — 'ring' needs a mesh that only the
-    # sharded step builders have, and init must work mesh-less.
-    if cfg.model.attention_impl == "ring":
-        cfg = cfg.replace(model=cfg.model.replace(attention_impl="dot"))
+    # build_model substitutes ring->dot mesh-less; the attention impl does
+    # not change the parameter tree, so init works for every impl.
     model = build_model(cfg)
     return model.init({"params": rng}, example.feats, example.frame_lens,
                       example.targets_in, example.target_lens)

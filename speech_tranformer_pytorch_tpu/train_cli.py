@@ -21,7 +21,21 @@ def main(argv=None):
     ap.add_argument("--dev-manifest", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--mesh", choices=("auto", "on", "off"), default="auto",
+                    help="'auto' (default): sharded SPMD steps over a "
+                         "('data','model') mesh whenever the launch is "
+                         "multi-process or mesh.model_axis>1; 'on' forces "
+                         "the mesh path on all devices; 'off' forces the "
+                         "collective-free single-process path (refused "
+                         "under multi-process launches)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="call jax.distributed.initialize() first "
+                         "(multi-process launch; env-based rendezvous)")
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
 
     cfg = resolve_config(args)
     os.makedirs(args.work_dir, exist_ok=True)
@@ -29,11 +43,18 @@ def main(argv=None):
         f.write(cfg.to_json())
 
     from .runner import Trainer
+    if args.mesh == "auto":
+        mesh = "auto"
+    elif args.mesh == "on":
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(cfg.mesh)
+    else:
+        mesh = None
     trainer = Trainer(
         cfg, work_dir=args.work_dir,
         train_manifest=args.train_manifest,
         dev_manifest=args.dev_manifest,
-        resume=args.resume)
+        resume=args.resume, mesh=mesh)
     trainer.train(max_steps=args.max_steps)
     print(f"done: step={int(trainer.state.step)} work_dir={args.work_dir}")
 
