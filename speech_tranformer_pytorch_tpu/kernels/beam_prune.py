@@ -58,7 +58,11 @@ def _kernel(logits_ref, alive_ref, vals_ref, idx_ref, *, k2: int,
                      keepdims=True)
         vals_ref[:, j:j + 1] = mx
         idx_ref[:, j:j + 1] = ix
-        x = jnp.where(col == ix, jnp.float32(NEG_INF), x)
+        # Consume with -inf (NOT NEG_INF): a consumed cell must never tie
+        # with real NEG_INF-scored candidates (banned tokens / dead rows),
+        # or the same index would be re-extracted where lax.top_k returns
+        # distinct ones (ADVICE r2: tiny-vocab saturation corner).
+        x = jnp.where(col == ix, -jnp.inf, x)
 
 
 def candidate_topk_rows(

@@ -61,7 +61,13 @@ def beam_candidate_topk(logits, alive_scores, *, k2, pad_id=0, sos_id=1):
     candidate scores (kernels/beam_prune.py); jnp reference off-TPU.
     Bit-identical results either way, including lax.top_k tie order."""
     from .beam_prune import candidate_topk, candidate_topk_reference
-    if _pallas_ok():
+    # VMEM guard: the kernel keeps the whole [B·K, V] f32 block (plus the
+    # iota and masked copies, ~3x) resident in VMEM with no grid tiling;
+    # beyond ~4 MB of input that risks exceeding the ~16 MB budget and
+    # failing at XLA compile time — an error the except below cannot catch.
+    bk, v = logits.shape
+    fits_vmem = bk * v * 4 * 3 <= 12 * 2 ** 20
+    if _pallas_ok() and fits_vmem:
         try:
             return candidate_topk(logits, alive_scores, k2=k2,
                                   pad_id=pad_id, sos_id=sos_id)

@@ -150,6 +150,13 @@ class Trainer:
             self.step_fn = make_audio_train_step(cfg)
             self.eval_fn = make_audio_eval_step(cfg)
         self.rng = jax.random.PRNGKey(t.seed + 1)
+        if self.mesh is not None:
+            # Replicated global array: a host-local single-device rng cannot
+            # be serialized by orbax (or fed to in_shardings) under a
+            # multi-process launch.
+            from jax.sharding import NamedSharding, PartitionSpec
+            self.rng = jax.device_put(
+                self.rng, NamedSharding(self.mesh, PartitionSpec()))
         self.start_epoch = 0
         self.start_batch = 0
         self.best_dev_loss = float("inf")

@@ -73,6 +73,51 @@ def test_special_token_masking(rng):
     assert not np.isin(np.asarray(got_i) % v, [0, 1]).any()
 
 
+def test_tiny_vocab_saturation(rng):
+    """Fewer than k2 candidates above NEG_INF (vocab < 2*beam+2): the
+    kernel must keep returning DISTINCT indices in lax.top_k order — the
+    consumed-cell mask uses -inf so it can never tie with real NEG_INF
+    candidates (ADVICE r2 corner: v=6, k2=6 used to repeat index 0)."""
+    b, k, v = 1, 2, 6
+    logits = jnp.asarray(rng.standard_normal((b * k, v)).astype(np.float32))
+    alive = jnp.array([[0.0, -1e9]], jnp.float32)  # beam 1 dead
+    _check(logits, alive, k2=6)
+
+
+def test_all_dead_rows(rng):
+    """Every beam at NEG_INF: all candidates ~-1e9; still distinct
+    indices, stable order."""
+    b, k, v = 2, 3, 8
+    logits = jnp.asarray(rng.standard_normal((b * k, v)).astype(np.float32))
+    alive = jnp.full((b, k), -1e9, jnp.float32)
+    _check(logits, alive, k2=6)
+
+
+def test_vmem_guard_falls_back(monkeypatch):
+    """beam_candidate_topk must route oversized blocks to the jnp
+    reference instead of risking a VMEM-overflow compile failure the
+    except cannot catch (ADVICE r2)."""
+    from speech_tranformer_pytorch_tpu.kernels import interface
+
+    monkeypatch.setattr(interface, "_pallas_ok", lambda: True)
+    called = {}
+
+    def boom(*a, **k):
+        called["kernel"] = True
+        raise AssertionError("kernel path must not run for oversized blocks")
+
+    monkeypatch.setattr(
+        "speech_tranformer_pytorch_tpu.kernels.beam_prune.candidate_topk",
+        boom)
+    b, k, v = 64, 5, 5000   # ~19 MB of f32 working set > the 12 MB budget
+    logits = jnp.zeros((b * k, v), jnp.float32)
+    alive = jnp.zeros((b, k), jnp.float32)
+    got_v, got_i = interface.beam_candidate_topk(logits, alive, k2=12)
+    assert "kernel" not in called
+    want_v, want_i = candidate_topk_reference(logits, alive, k2=12)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
 def test_base_shapes(rng):
     """The production shape class: B=8, K=5, V=512 (trimmed base)."""
     b, k, v = 8, 5, 512
