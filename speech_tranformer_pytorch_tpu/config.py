@@ -371,13 +371,25 @@ def librispeech_config() -> ExperimentConfig:
 
 
 def sharded_config() -> ExperimentConfig:
-    """d_model=2048 encoder, GSPMD TP + multi-host DP beam (v4-16 target)."""
+    """d_model=2048 encoder, GSPMD TP + multi-host DP beam (v4-16 target).
+
+    Routes encoder self-attention through ring attention
+    (``attention_impl='ring'``, parallel/ring_attention.py): the frame axis
+    shards over the 4-way 'model' mesh axis, so a 3000-frame bucket's
+    [T',T'] attention workspace never materializes on one chip. Ring scope
+    (enforced by ``validate()`` / construction): encoder self-attention
+    only (decoder self/cross stay dot — decode is KV-cache-bound, not
+    workspace-bound), non-causal, no attention dropout, exact vs dot
+    (tests/test_ring_model.py). Mesh-less constructors (init, eval,
+    single-chip inference) substitute the numerically-identical dot core
+    via train.build_model, so checkpoints are interchangeable."""
     return ExperimentConfig(
         name="sharded",
         model=ModelConfig(
             d_model=2048, num_heads=16, d_ff=8192,
             num_encoder_layers=12, num_decoder_layers=6,
             subsample_channels=128, remat=True, scan_layers=True,
+            attention_impl="ring",
         ),
         train=TrainConfig(batch_size=256, warmup_steps=12000),
         mesh=MeshConfig(data_axis=0, model_axis=4),

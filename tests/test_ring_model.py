@@ -62,6 +62,29 @@ class TestEncoderRing:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_forward_scan_remat_matches_dot(self, rng):
+        """The sharded-preset combo (scan_layers + remat + ring — the
+        preset that routes through the ring by default, config.py
+        sharded_config) must stay exact vs the plain dot encoder."""
+        mesh = make_mesh(model_axis_size=2)
+        enc_dot = Encoder(_model_cfg(attention_impl="dot"))
+        enc_ring = Encoder(_model_cfg(attention_impl="ring",
+                                      scan_layers=True, remat=True),
+                           mesh=mesh)
+        feats, lens = _inputs(rng)
+        params = enc_dot.init(jax.random.PRNGKey(3), feats, lens)
+        want, _ = enc_dot.apply(params, feats, lens)
+        # Restack the per-layer params into the scan layout.
+        import flax
+        p = flax.core.unfreeze(params)["params"]
+        layers = [p.pop(f"layer_{i}") for i in range(2)]
+        p["layers"] = {"layer": jax.tree.map(
+            lambda *xs: jnp.stack(xs), *layers)}
+        got, _ = jax.jit(lambda pp, f, l: enc_ring.apply(pp, f, l))(
+            {"params": p}, feats, lens)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_grads_match_dot(self, rng):
         """Ring attention is differentiable (scan+ppermute transpose) and
         its gradients match full attention — required for training the
