@@ -49,6 +49,18 @@ class FeatureConfig(_Replace):
     use_log: bool = True
     cmvn: bool = True              # per-utterance mean-variance normalisation
     use_pallas: bool = True        # fused Pallas STFT+mel kernel (TPU; 1.6x jnp path)
+    output_dtype: str = "float32"  # feature tensor dtype handed to the
+                                   # model. "bfloat16" casts at the END of
+                                   # CMVN (fuses into its elementwise
+                                   # chain; speed-neutral, halves the conv
+                                   # input read) — the fbank kernel itself
+                                   # always computes/stores f32: emitting
+                                   # bf16 from the kernel was measured 18%
+                                   # SLOWER (BENCHMARKS.md 2026-08-21).
+                                   # CMVN statistics accumulate in f32.
+                                   # bf16 loses nothing when model.dtype is
+                                   # bfloat16 (the first conv casts anyway)
+                                   # so the bf16-model presets enable it.
 
     @property
     def frame_length(self) -> int:
@@ -266,6 +278,10 @@ class ExperimentConfig:
                         f"('im2col', 'conv', 'phase')")
         if self.decode.beam_size < 1:
             errs.append("decode.beam_size must be >= 1")
+        if self.features.output_dtype not in ("float32", "bfloat16"):
+            errs.append(f"features.output_dtype "
+                        f"{self.features.output_dtype!r} not in "
+                        f"('float32', 'bfloat16')")
         if m.attention_impl not in ("auto", "dot", "flash", "ring"):
             errs.append(f"model.attention_impl {m.attention_impl!r} not in "
                         f"('auto', 'dot', 'flash', 'ring')")
@@ -338,13 +354,16 @@ def tiny_config() -> ExperimentConfig:
 
 def base_config() -> ExperimentConfig:
     """6/6, d_model=512, 8 heads — the paper / AISHELL-1 headline config."""
-    return ExperimentConfig(name="base")
+    return ExperimentConfig(
+        name="base",
+        features=FeatureConfig(output_dtype="bfloat16"))
 
 
 def large_config() -> ExperimentConfig:
     """12-enc/6-dec, d_model=768, SpecAugment + 3000-frame buckets."""
     return ExperimentConfig(
         name="large",
+        features=FeatureConfig(output_dtype="bfloat16"),
         model=ModelConfig(
             d_model=768, num_heads=12, d_ff=3072,
             num_encoder_layers=12, num_decoder_layers=6,
@@ -359,6 +378,7 @@ def librispeech_config() -> ExperimentConfig:
     """LibriSpeech-960h, BPE-5k subword outputs, label smoothing 0.1."""
     return ExperimentConfig(
         name="librispeech",
+        features=FeatureConfig(output_dtype="bfloat16"),
         model=ModelConfig(
             vocab_size=5000, d_model=512, num_heads=8,
             num_encoder_layers=12, num_decoder_layers=6,
@@ -385,6 +405,7 @@ def sharded_config() -> ExperimentConfig:
     via train.build_model, so checkpoints are interchangeable."""
     return ExperimentConfig(
         name="sharded",
+        features=FeatureConfig(output_dtype="bfloat16"),
         model=ModelConfig(
             d_model=2048, num_heads=16, d_ff=8192,
             num_encoder_layers=12, num_decoder_layers=6,

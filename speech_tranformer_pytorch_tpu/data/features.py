@@ -178,12 +178,16 @@ def apply_cmvn(
 ) -> jnp.ndarray:
     """Per-utterance cepstral mean-variance normalisation over valid frames."""
     t = feats.shape[1]
-    valid = (jnp.arange(t)[None, :] < frame_lens[:, None]).astype(feats.dtype)[..., None]
+    # Statistics ALWAYS accumulate in f32 — a bf16 sum over thousands of
+    # frames loses mantissa; only the normalized output keeps feats.dtype.
+    f32 = feats.astype(jnp.float32)
+    valid = (jnp.arange(t)[None, :] < frame_lens[:, None]).astype(
+        jnp.float32)[..., None]
     count = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1.0)
-    mean = jnp.sum(feats * valid, axis=1, keepdims=True) / count
-    var = jnp.sum(jnp.square(feats - mean) * valid, axis=1, keepdims=True) / count
-    normed = (feats - mean) * jax.lax.rsqrt(var + eps)
-    return normed * valid
+    mean = jnp.sum(f32 * valid, axis=1, keepdims=True) / count
+    var = jnp.sum(jnp.square(f32 - mean) * valid, axis=1, keepdims=True) / count
+    normed = (f32 - mean) * jax.lax.rsqrt(var + eps) * valid
+    return normed.astype(feats.dtype)
 
 
 def extract_features(
@@ -201,4 +205,10 @@ def extract_features(
     frame_lens = jnp.minimum(frame_lens, feats.shape[-2])
     if cfg.cmvn:
         feats = apply_cmvn(feats, frame_lens)
-    return feats, frame_lens
+    # Late cast (cfg.output_dtype='bfloat16'): the cast fuses into the
+    # CMVN elementwise chain, halving the feature tensor the conv reads.
+    # Casting EARLIER (bf16 out of the fbank kernel) was measured 18%
+    # SLOWER on the base train step (BENCHMARKS.md 2026-08-21); this
+    # placement is speed-neutral and only rounds once, post-CMVN — the
+    # same rounding the bf16-activation model applies anyway.
+    return feats.astype(jnp.dtype(cfg.output_dtype)), frame_lens

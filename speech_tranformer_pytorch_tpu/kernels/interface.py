@@ -56,6 +56,28 @@ def flash_attention(
         dropout_rate=dropout_rate, deterministic=deterministic)
 
 
+def lineage_attention(q_new, self_k, self_v, lineage, index, beam_width):
+    """Gather-free beam self-attention over the unpermuted KV cache
+    (kernels/lineage_attention.py): fused Pallas kernel on TPU (native
+    cache layout, no per-step relayout copy), jnp onehot-einsum reference
+    elsewhere. Same values either way (weights rounded identically)."""
+    from .lineage_attention import (lineage_attention as kernel,
+                                    lineage_attention_reference)
+    # EXPERIMENTAL, opt-in (ST_TPU_LINEAGE_KERNEL=1): the kernel is
+    # interpret-golden-tested but Mosaic cannot yet compile it on-chip —
+    # the native [B·K, L, H, D] cache puts (H, D) in the tiled trailing
+    # dims, and Mosaic refuses head-tiled blocks and the sublane->lane
+    # shape casts of every in-kernel workaround tried (see
+    # BENCHMARKS.md "Negative result: fused lineage-attention kernel").
+    if _pallas_ok() and os.environ.get("ST_TPU_LINEAGE_KERNEL") == "1":
+        try:
+            return kernel(q_new, self_k, self_v, lineage, index, beam_width)
+        except (NotImplementedError, ImportError):
+            pass
+    return lineage_attention_reference(q_new, self_k, self_v, lineage,
+                                       index, beam_width)
+
+
 def beam_candidate_topk(logits, alive_scores, *, k2, pad_id=0, sos_id=1):
     """Fused log-softmax + mask + beam-score add + top-k2 of the beam
     candidate scores (kernels/beam_prune.py); jnp reference off-TPU.

@@ -96,6 +96,11 @@ def _stft_mel_kernel(frames_ref,           # [1, block_frames, L] VMEM
                   precision=hi)
     if use_log:
         mel = jnp.log(jnp.maximum(mel, _LOG_EPS))
+    # ALWAYS f32 out: emitting bf16 here was MEASURED 18% SLOWER on the
+    # base train step (19.5 vs 16.5 ms — the narrow 80-lane bf16 store
+    # tiles badly); cfg.output_dtype='bfloat16' instead casts at the END
+    # of CMVN, where it fuses into the elementwise chain for free
+    # (BENCHMARKS.md 2026-08-21).
     out_ref[0] = mel
 
 

@@ -213,30 +213,16 @@ class DecoderLayer(nn.Module):
         re-inserted full-cache bitcast copies (beam-5 B=32: 55.4 -> 70.2
         ms/batch). The activation-natural layout + relayout copy is the
         faster XLA lowering; removing the copy for real needs a kernel that
-        consumes the native layout, not a layout fight with XLA.
+        consumes the native layout — which is exactly what
+        ``kernels/lineage_attention.py`` does on TPU (one (b, h)-gridded
+        Pallas kernel, native-layout cache tiles, two rank-2 MXU dots, no
+        relayout, no materialized all-lane score tensor). The dispatch
+        (kernel on TPU, this formulation as the jnp reference elsewhere)
+        lives in ``kernels/interface.lineage_attention``.
         """
-        bk, L, h, d = self_k.shape
-        c = beam_width
-        b = bk // c
-        q = q_new.reshape(b, c, h, d)                          # [B,K,H,D]
-        kc = self_k.reshape(b, c, L, h, d)
-        vc = self_v.reshape(b, c, L, h, d)
-        scores_all = jnp.einsum("bkhd,bcjhd->bkcjh", q, kc,
-                                preferred_element_type=jnp.float32)
-        scores_all = scores_all / math.sqrt(d)
-        onehot = (lineage[:, :, :, None]
-                  == jnp.arange(c, dtype=lineage.dtype)).astype(jnp.float32)
-        # [B,K,L,C] -> select each (k,j)'s single lane.
-        scores = jnp.einsum("bkcjh,bkjc->bkjh", scores_all, onehot)
-        pos_ok = jnp.arange(L) <= index                        # [L]
-        scores = jnp.where(pos_ok[None, None, :, None], scores,
-                           jnp.float32(-1.0e9))
-        weights = jax.nn.softmax(scores, axis=2)               # f32 over j
-        w_sel = (weights.astype(vc.dtype)[:, :, None, :, :]
-                 * onehot.transpose(0, 1, 3, 2)[..., None].astype(vc.dtype))
-        out = jnp.einsum("bkcjh,bcjhd->bkhd", w_sel, vc,
-                         preferred_element_type=jnp.float32)
-        return out.astype(vc.dtype).reshape(bk, 1, h, d)
+        from ..kernels.interface import lineage_attention
+        return lineage_attention(q_new, self_k, self_v, lineage, index,
+                                 beam_width)
 
 
 class Decoder(nn.Module):

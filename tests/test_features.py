@@ -104,3 +104,47 @@ def test_extract_features_end_to_end(rng):
     assert feats.shape == (2, 98, 80)
     assert flens.tolist() == [98, 48]
     assert np.isfinite(np.asarray(feats)).all()
+
+
+class TestBf16FeatureEmission:
+    """features.output_dtype='bfloat16' (ROADMAP lever 2): the frontend
+    emits bf16 with f32 internal math — values must match the f32 pipeline
+    to bf16 rounding, and CMVN statistics must not degrade."""
+
+    def test_bf16_close_to_f32(self, rng):
+        import jax.numpy as jnp
+
+        from speech_tranformer_pytorch_tpu.config import FeatureConfig
+        from speech_tranformer_pytorch_tpu.data.features import \
+            extract_features
+
+        wav = jnp.asarray(
+            rng.standard_normal((2, 16000)).astype(np.float32)) * 0.3
+        lens = jnp.array([16000, 12000], jnp.int32)
+        f32, fl = extract_features(wav, lens, FeatureConfig())
+        bf16, fl2 = extract_features(
+            wav, lens, FeatureConfig(output_dtype="bfloat16"))
+        assert bf16.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(fl), np.asarray(fl2))
+        # CMVN output is O(1)-scaled. The dominant error is the bf16
+        # rounding of the raw log-mel BEFORE CMVN (values up to ~16 =>
+        # resolution ~0.06), carried through the normalization — measured
+        # max ~0.05, i.e. feature-level noise well under SpecAugment's.
+        np.testing.assert_allclose(
+            np.asarray(bf16, np.float32), np.asarray(f32), atol=0.08)
+
+    def test_kernel_always_emits_f32(self, rng):
+        """The fbank kernel stores f32 regardless of output_dtype (bf16
+        emission measured 18% slower — BENCHMARKS.md); the bf16 cast
+        happens at the end of extract_features only."""
+        import jax.numpy as jnp
+
+        from speech_tranformer_pytorch_tpu.config import FeatureConfig
+        from speech_tranformer_pytorch_tpu.kernels.stft_mel import \
+            log_mel_pallas
+
+        cfg = FeatureConfig(output_dtype="bfloat16", cmvn=False)
+        wav = jnp.asarray(
+            rng.standard_normal((1, 8000)).astype(np.float32)) * 0.3
+        got = log_mel_pallas(wav, cfg, 48)   # interpret=True on CPU
+        assert got.dtype == jnp.float32

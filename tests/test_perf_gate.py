@@ -24,7 +24,12 @@ import jax.numpy as jnp
 import pytest
 
 TRAIN_AUDIO_SPS_FLOOR = 15000.0   # measured 19.4k (BENCHMARKS.md)
-BEAM5_RTF_CEILING = 0.00030       # measured 0.00020 at B=16, max_len=50
+BEAM5_RTF_CEILING = 0.00020       # measured 0.000148 at B=16, max_len=50
+                                  # (2026-08-20, candidate-topk kernel +
+                                  # head-major cross cache); 1.35x headroom
+                                  # — the kernel silently falling off its
+                                  # Pallas path alone costs ~1.25x, so the
+                                  # gate now catches that
 
 requires_tpu = pytest.mark.skipif(
     jax.default_backend() != "tpu",
@@ -78,4 +83,33 @@ def test_beam5_rtf_ceiling():
     rtf = (time.perf_counter() - t0) / runs / (b * 10.0)
     assert rtf < BEAM5_RTF_CEILING, (
         f"beam-5 decode regressed: RTF {rtf:.6f} > ceiling "
-        f"{BEAM5_RTF_CEILING} (BENCHMARKS.md measured 0.00020)")
+        f"{BEAM5_RTF_CEILING} (BENCHMARKS.md measured 0.000148)")
+
+
+@requires_tpu
+def test_candidate_topk_compiled_matches_reference():
+    """TPU-COMPILED (Mosaic, not interpret) equality of the fused
+    beam-candidate top-k kernel vs the jnp reference — exact indices and
+    tie order at production shapes. The CPU goldens run interpret=True
+    only; this is the path decode actually dispatches to on the chip
+    (VERDICT r2 weak #2). Calling candidate_topk directly (no interface
+    fallback) also turns a Mosaic compile failure into a test failure
+    instead of a silent perf regression."""
+    import numpy as np
+
+    from speech_tranformer_pytorch_tpu.kernels.beam_prune import (
+        candidate_topk, candidate_topk_reference)
+
+    rng = np.random.default_rng(0)
+    for b, k, v, k2 in ((32, 5, 4336, 12), (8, 5, 512, 10), (1, 2, 6, 6)):
+        logits = jnp.asarray(rng.standard_normal((b * k, v)).astype(np.float32))
+        alive = jnp.asarray(rng.standard_normal((b, k)).astype(np.float32))
+        want_v, want_i = jax.jit(
+            lambda l, a: candidate_topk_reference(l, a, k2=k2))(logits, alive)
+        got_v, got_i = jax.jit(
+            lambda l, a: candidate_topk(l, a, k2=k2))(logits, alive)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i),
+                                      err_msg=f"shape {(b, k, v, k2)}")
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"shape {(b, k, v, k2)}")
