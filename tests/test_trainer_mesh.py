@@ -68,6 +68,23 @@ def test_mesh_trainer_matches_plain_trainer(corpus, tmp_path):
 
 
 @pytest.mark.slow
+def test_mesh_trainer_grain_pipeline_matches_python(corpus, tmp_path):
+    """Mesh mode with the grain input pipeline (the production multi-host
+    path: grain per-host workers + make_array_from_process_local_data
+    assembly) must produce the same per-step losses as the python
+    pipeline (both follow the same metadata-only epoch plan)."""
+    cfg = _cfg(corpus)
+    mesh = make_mesh(model_axis_size=2)
+    t_py = Trainer(cfg, work_dir=str(tmp_path / "py"), mesh=mesh)
+    ref = _run_recording(t_py, 3)
+
+    cfg_g = cfg.replace(data=cfg.data.replace(pipeline="grain"))
+    t_gr = Trainer(cfg_g, work_dir=str(tmp_path / "grain"), mesh=mesh)
+    got = _run_recording(t_gr, 3)
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_mesh_trainer_evaluate_and_dev_cer(corpus, tmp_path):
     cfg = _cfg(corpus)
     mesh = make_mesh(model_axis_size=2)
