@@ -122,6 +122,22 @@ class Trainer:
                 shard_index=shard_index, num_shards=num_shards,
                 drop_remainder=False, shuffle=False)
 
+        if self.mesh is not None:
+            # Every global batch's row count must divide the mesh's 'data'
+            # axis. Per-host bucket size s makes a global batch of
+            # s * num_shards rows; round s up so that product is divisible
+            # by dp (matters for frame-budget batching, where bucket batch
+            # sizes are arbitrary; remainder batches already pad to the
+            # bucket size with valid=False rows).
+            import math
+            dp = int(self.mesh.shape.get("data", 1))
+            q = dp // math.gcd(dp, num_shards)
+            for b in (self.batcher,
+                      getattr(self, "dev_batcher", None)):
+                if b is not None:
+                    b.bucket_batch_sizes = [
+                        -(-s // q) * q for s in b.bucket_batch_sizes]
+
         self.logger = MetricsLogger(work_dir, console_every=1)
         self.ckpt = Checkpointer(f"{work_dir}/checkpoints",
                                  max_to_keep=t.keep_checkpoints)

@@ -77,3 +77,40 @@ def test_max_len_ratio_caps_decode(setup):
     scores = rec.decode_manifest(paths["train"], beam_size=3, batch_size=8)
     # still decodes correctly (overfit corpus) with capped lengths
     assert scores["cer"] <= 5.0
+
+
+def test_mesh_recognizer_matches_plain(setup, tmp_path):
+    """Recognizer(mesh=...) routes through the sharded decode builders
+    (parallel/decode.py) with TP-sharded params and 'data'-sharded
+    batches; hypotheses, CER and per-utterance pairing must match the
+    single-device Recognizer exactly (incl. the bucket-size rounding for
+    'data'-axis divisibility)."""
+    from speech_tranformer_pytorch_tpu.parallel import make_mesh
+
+    cfg, paths, work, params = setup
+    plain = Recognizer(cfg, params)
+    want = plain.decode_manifest(paths["train"], beam_size=3, max_len=8,
+                                 batch_size=4)
+
+    mesh = make_mesh(model_axis_size=2)   # DP4 x TP2 on the fake devices
+    rec = Recognizer(cfg, params, mesh=mesh)
+    out_path = str(tmp_path / "hyps_mesh.jsonl")
+    got = rec.decode_manifest(paths["train"], beam_size=3, max_len=8,
+                              batch_size=4, out_path=out_path)
+    assert got["utterances"] == want["utterances"] == 8
+    assert got["cer"] == want["cer"]
+    hyps = [json.loads(l) for l in open(out_path)]
+    refs = {e["utt_id"]: e["tokens"] for e in read_manifest(paths["train"])}
+    match = sum(1 for h in hyps if refs[h["utt_id"]] == h["tokens"])
+    assert match >= 7
+
+
+def test_mesh_recognizer_greedy(setup):
+    from speech_tranformer_pytorch_tpu.parallel import make_mesh
+
+    cfg, paths, work, params = setup
+    mesh = make_mesh(model_axis_size=2)
+    rec = Recognizer(cfg, params, mesh=mesh)
+    scores = rec.decode_manifest(paths["train"], beam_size=1, max_len=8,
+                                 batch_size=8)
+    assert scores["cer"] <= 5.0

@@ -120,6 +120,21 @@ def test_mesh_trainer_checkpoint_resume(corpus, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
+def test_mesh_trainer_frame_budget_batches_divisible(corpus, tmp_path):
+    """Frame-budget batching yields arbitrary per-bucket batch sizes; in
+    mesh mode the Trainer must round them up so every global batch's rows
+    divide the 'data' axis (else NamedSharding(P('data')) fails)."""
+    cfg = _cfg(corpus)
+    cfg = cfg.replace(train=cfg.train.replace(max_frames_per_batch=300))
+    mesh = make_mesh(model_axis_size=2)   # dp=4
+    tr = Trainer(cfg, work_dir=str(tmp_path / "fb"), mesh=mesh)
+    assert all(s % 4 == 0 for s in tr.batcher.bucket_batch_sizes), \
+        tr.batcher.bucket_batch_sizes
+    tr.train(max_steps=2)
+    assert int(jax.device_get(tr.state.step)) == 2
+
+
 def test_collective_free_step_refuses_multiprocess(monkeypatch):
     from speech_tranformer_pytorch_tpu.data.pipeline import \
         make_audio_train_step
