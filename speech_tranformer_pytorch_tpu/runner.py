@@ -196,6 +196,12 @@ class Trainer:
         return next(iter(self.batcher.epoch(0)))
 
     def _globalize(self, abatch: AudioBatch) -> AudioBatch:
+        # Idempotent so the train loop can globalize inside the prefetch
+        # thread (overlapping H2D transfer with device compute) while the
+        # step wrapper stays safe for direct calls.
+        if (isinstance(abatch.audio, jax.Array)
+                and getattr(abatch.audio.sharding, "mesh", None) is self.mesh):
+            return abatch
         from .parallel.sharding import globalize_audio_batch
         return globalize_audio_batch(self.mesh, abatch)
 
@@ -210,9 +216,14 @@ class Trainer:
             # Mid-epoch resume: both pipelines skip via the metadata-only
             # epoch plan — no audio IO for already-trained batches.
             skip = self.start_batch if epoch == self.start_epoch else 0
-            for bi, abatch in enumerate(
-                    prefetch(self.batcher.epoch(epoch, skip_batches=skip)),
-                    start=skip):
+            it = self.batcher.epoch(epoch, skip_batches=skip)
+            if self.mesh is not None:
+                # Globalize in the prefetch thread: the device transfer of
+                # batch N+1 overlaps the device compute of batch N
+                # (_globalize is idempotent, so the step wrapper's own call
+                # becomes a no-op).
+                it = map(self._globalize, it)
+            for bi, abatch in enumerate(prefetch(it), start=skip):
                 self.state, metrics = self.step_fn(self.state, abatch, self.rng)
                 step = int(jax.device_get(self.state.step))
                 window_audio += float(jax.device_get(metrics["audio_seconds"])) \
@@ -238,31 +249,47 @@ class Trainer:
                         self.state, self.rng, epoch, bi + 1,
                         cfg.model_hash()))
 
+                if (self.dev_ds is not None and t.eval_every_steps > 0
+                        and step % t.eval_every_steps == 0):
+                    # Mid-epoch dev eval (step-based, on top of the
+                    # reference's per-epoch CV) — long epochs get a dev
+                    # signal and best-model tracking at step granularity.
+                    self._dev_eval(epoch, bi + 1)
+                    window_t0 = time.perf_counter()
+                    window_audio = window_tokens = 0.0
+
                 if max_steps is not None and step >= max_steps:
                     self._finish(epoch, 0)
                     return self.state
 
             if self.dev_ds is not None:
-                dev = self.evaluate(decode_cer=True)
-                self.logger.log(int(jax.device_get(self.state.step)), dev,
-                                prefix="dev_")
-                if dev["loss"] < self.best_dev_loss:
-                    self.best_dev_loss = dev["loss"]
-                    # Reference parity: keep the best-dev model separately
-                    # (Solver best-model tracking, SURVEY.md §2.1).
-                    if self.best_ckpt is None:
-                        self.best_ckpt = Checkpointer(
-                            f"{self.work_dir}/best", max_to_keep=1)
-                    self.best_ckpt.save(
-                        int(jax.device_get(self.state.step)),
-                        CheckpointState(self.state, self.rng, epoch + 1, 0,
-                                        self.cfg.model_hash()))
+                self._dev_eval(epoch + 1, 0)
+                window_t0 = time.perf_counter()
+                window_audio = window_tokens = 0.0
             # end-of-epoch checkpoint (reference: per-epoch torch.save)
             self.ckpt.save(int(jax.device_get(self.state.step)),
                            CheckpointState(self.state, self.rng, epoch + 1, 0,
                                            cfg.model_hash()))
         self._finish(t.num_epochs, 0)
         return self.state
+
+    def _dev_eval(self, epoch: int, batch_in_epoch: int) -> None:
+        """Dev CV + best-dev-model tracking (reference: Solver per-epoch
+        cross-validation; also run mid-epoch every
+        ``train.eval_every_steps`` steps)."""
+        dev = self.evaluate(decode_cer=True)
+        step = int(jax.device_get(self.state.step))
+        self.logger.log(step, dev, prefix="dev_")
+        if dev["loss"] < self.best_dev_loss:
+            self.best_dev_loss = dev["loss"]
+            # Reference parity: keep the best-dev model separately
+            # (Solver best-model tracking, SURVEY.md §2.1).
+            if self.best_ckpt is None:
+                self.best_ckpt = Checkpointer(
+                    f"{self.work_dir}/best", max_to_keep=1)
+            self.best_ckpt.save(step, CheckpointState(
+                self.state, self.rng, epoch, batch_in_epoch,
+                self.cfg.model_hash()))
 
     def evaluate(self, *, decode_cer: bool = False,
                  max_decode_batches: Optional[int] = None) -> Dict[str, float]:

@@ -155,3 +155,22 @@ def test_dev_cer_sampled_label(corpus, tmp_path):
     assert "cer_sampled" in sampled and "cer" not in sampled
     full = tr.evaluate(decode_cer=True, max_decode_batches=0)
     assert "cer" in full and "cer_sampled" not in full
+
+
+def test_eval_every_steps_fires_mid_epoch(corpus, tmp_path):
+    """train.eval_every_steps triggers mid-epoch dev CV + best-model
+    tracking (previously a dead config field)."""
+    import json
+    import os
+
+    cfg = _cfg(corpus)
+    cfg = cfg.replace(train=cfg.train.replace(eval_every_steps=2,
+                                              num_epochs=3))
+    wd = str(tmp_path / "es")
+    tr = Trainer(cfg, work_dir=wd, mesh=None)
+    tr.train(max_steps=3)
+    lines = [json.loads(l)
+             for l in open(os.path.join(wd, "train_metrics.jsonl"))]
+    dev_steps = [l["step"] for l in lines if "dev_loss" in l]
+    assert 2 in dev_steps, (dev_steps, lines)
+    assert os.path.isdir(os.path.join(wd, "best"))
