@@ -202,7 +202,6 @@ class DataConfig(_Replace):
     max_source_frames: int = 3000      # drop/clip longer utterances
     max_target_len: int = 128
     bucket_boundaries: Tuple[int, ...] = (200, 400, 600, 800, 1000, 1400, 2000, 3000)
-    shuffle_buffer: int = 10000
     num_workers: int = 2
 
 
@@ -278,6 +277,11 @@ class ExperimentConfig:
                         f"('im2col', 'conv', 'phase')")
         if self.decode.beam_size < 1:
             errs.append("decode.beam_size must be >= 1")
+        if (d.tokenizer == "bpe" and d.bpe_vocab_size != m.vocab_size):
+            errs.append(f"data.bpe_vocab_size {d.bpe_vocab_size} != "
+                        f"model.vocab_size {m.vocab_size}: with a BPE "
+                        f"tokenizer the model's output dim must match the "
+                        f"trained BPE vocabulary")
         if self.features.output_dtype not in ("float32", "bfloat16"):
             errs.append(f"features.output_dtype "
                         f"{self.features.output_dtype!r} not in "
