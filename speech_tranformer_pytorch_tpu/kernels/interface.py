@@ -63,12 +63,12 @@ def lineage_attention(q_new, self_k, self_v, lineage, index, beam_width):
     elsewhere. Same values either way (weights rounded identically)."""
     from .lineage_attention import (lineage_attention as kernel,
                                     lineage_attention_reference)
-    # EXPERIMENTAL, opt-in (ST_TPU_LINEAGE_KERNEL=1): the kernel is
-    # interpret-golden-tested but Mosaic cannot yet compile it on-chip —
-    # the native [B·K, L, H, D] cache puts (H, D) in the tiled trailing
-    # dims, and Mosaic refuses head-tiled blocks and the sublane->lane
-    # shape casts of every in-kernel workaround tried (see
-    # BENCHMARKS.md "Negative result: fused lineage-attention kernel").
+    # OFF by default, MEASURED: the kernel compiles and is exact on-chip,
+    # but its Mosaic-imposed shape (batch-only grid, H×C static loop of
+    # tiny rank-2 dots with sublane slices) loses to XLA's batched
+    # einsums — beam-5 B=32 63.1 vs 41.4 ms/batch, B=16 32.1 vs 23.7
+    # (BENCHMARKS.md negative result). Opt-in for re-measurement on
+    # future hardware/Mosaic: ST_TPU_LINEAGE_KERNEL=1.
     if _pallas_ok() and os.environ.get("ST_TPU_LINEAGE_KERNEL") == "1":
         try:
             return kernel(q_new, self_k, self_v, lineage, index, beam_width)

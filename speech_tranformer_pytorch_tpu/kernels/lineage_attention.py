@@ -3,30 +3,28 @@
 Reference has no counterpart (it re-runs the full prefix per step with no
 KV cache at all — SURVEY.md §3.2); the TPU redesign's gather-free lineage
 scheme (models/decoder.py ``_lineage_self_attention``) already removed the
-per-step cache permute, but its jnp formulation pays two XLA costs the
-fused kernel removes (the decoder layout note measured these):
+per-step cache permute, but its jnp formulation still materializes the
+[B, K, C, L, H] all-lane score tensor and its onehot round-trips in HBM,
+and XLA relayouts the cache for the rank-5 einsums (decoder layout note).
 
-  1. XLA relayouts the [B·K, L, H, D] cache to put the (b, h) batch dims
-     of the rank-5 score/AV einsums leading — a physical copy of the full
-     self-K AND self-V cache inside every decode step, per layer.
-  2. The [B, K, C, L, H] all-lane score tensor and its onehot-select
-     round-trip HBM in f32.
+The kernel consumes the cache in its NATIVE [B·K, L, H, D] activation
+layout, gridded over batch. Mosaic constraints shaped every choice:
 
-The kernel consumes the cache in its NATIVE activation layout with a
-batch grid and a static in-kernel head loop (Mosaic requires the last two
-block dims — here (H, D) — be full): each program reads its [K, L, H, D]
-K/V tiles exactly once, computes the flat per-head [K, C·L] score matrix
-with one rank-2 MXU dot, applies the lineage selection and position mask
-as a VPU compare (a non-selected column's score is masked, so it
-underflows to exact 0.0 in the softmax), and produces [K, D] outputs with
-a second rank-2 dot. No relayout, no materialized all-lane score tensor,
-one cache pass — the HBM floor for this op.
+  * last-two block dims must be full → grid covers batch only; heads and
+    lanes run as static in-kernel loops over rank-2 dots;
+  * sublane→lane shape casts are unsupported → NO in-kernel reshapes or
+    broadcasts: the lineage one-hot + position mask is precomputed once
+    per decode step in XLA as a tiny [B, C, K, L] bool (shared by all
+    layers and heads; ~6 KB/utterance at beam 5, L=512), and queries
+    arrive pre-transposed [B, H, K, D] so every slice is on leading dims;
+  * per (head, lane): scores_c = q_h · K_c^T (rank-2 MXU dot), masked
+    accumulation (each valid position matches exactly one lane), softmax
+    over L, then out_h = Σ_c (w·keep_c) · V_c.
 
-Exactness: for every (beam k, position j <= index) exactly one lane
-column c == lineage[k, j] survives the mask, so the softmax over the flat
-C·L axis equals the jnp path's softmax over L (the extra C·L - L masked
-columns contribute exp(-1e9 - max) == 0.0 exactly in f32). Golden tests
-pin kernel == reference in interpret mode (CPU) and compiled (TPU gate).
+One pass over the cache per step — the HBM floor for this op — with no
+relayout and no materialized all-lane tensor. Exactness: golden tests pin
+kernel == jnp reference in interpret mode (CPU) and compiled on the chip
+(tests/test_perf_gate.py).
 """
 
 from __future__ import annotations
@@ -42,49 +40,47 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e9
 
 
-def _kernel(index_ref,            # [1] SMEM scalar: current position
-            q_ref,                # [K, 1, H, D] this utterance's queries
+def _kernel(q_ref,                # [1, H, K, D] queries, pre-transposed
             k_ref,                # [K, L, H, D] native-layout K cache tile
             v_ref,                # [K, L, H, D]
-            lin_ref,              # [1, K, L] lineage table for this b
-            out_ref,              # [K, 1, H, D]
+            keep_ref,             # [1, C, K, L] bool lineage+position mask
+            out_ref,              # [1, H, K, D]
             *, scale: float):
-    # Mosaic requires the last two block dims be full (or (8,128)-tiled),
-    # so the grid covers batch only and heads run as a static loop — the
-    # per-head dots are rank-2 as Mosaic requires.
     kdim, l, h, d = k_ref.shape
     c = kdim                      # lanes == beams
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (c, l), 0).reshape(1, c * l)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (c, l), 1).reshape(1, c * l)
-    lin = lin_ref[0]                                       # [K, L] int32
-    lin_flat = jnp.broadcast_to(lin[:, None, :], (kdim, c, l)).reshape(
-        kdim, c * l)
-    keep = jnp.logical_and(lin_flat == lane, pos <= index_ref[0])
-
     for hi in range(h):
-        q = q_ref[:, 0, hi, :].astype(jnp.float32)         # [K, D]
-        kc = k_ref[:, :, hi, :].astype(jnp.float32).reshape(c * l, d)
-        vc = v_ref[:, :, hi, :].reshape(c * l, d)
-
-        # [K, C·L] all-lane scores in ONE rank-2 MXU dot per head.
-        scores = jax.lax.dot_general(
-            q, kc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(keep, scores, jnp.float32(NEG_INF))
+        q = q_ref[0, hi].astype(jnp.float32)               # [K, D]
+        scores = jnp.zeros((kdim, l), jnp.float32)
+        for ci in range(c):
+            kc = k_ref[ci, :, hi, :].astype(jnp.float32)   # [L, D]
+            s = jax.lax.dot_general(
+                q, kc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [K, L]
+            scores = scores + jnp.where(keep_ref[0, ci], s, 0.0)
+        # Positions with no selected lane (j > index) have an all-False
+        # mask column -> score 0 above; send them to -inf for the softmax.
+        any_keep = keep_ref[0, 0]
+        for ci in range(1, c):
+            any_keep = jnp.logical_or(any_keep, keep_ref[0, ci])
+        scores = jnp.where(any_keep, scores, jnp.float32(NEG_INF))
 
         m = jnp.max(scores, axis=1, keepdims=True)
-        w = jnp.exp(scores - m)                            # masked cols -> 0.0
+        w = jnp.exp(scores - m)
         w = w / jnp.sum(w, axis=1, keepdims=True)
         # Round the weights to the cache dtype exactly like the jnp path
-        # (it multiplies bf16 weights into the AV einsum) so kernel ==
-        # reference to accumulation order.
+        # (it multiplies cache-dtype weights into the AV einsum) so
+        # kernel == reference to accumulation order.
         w = w.astype(v_ref.dtype).astype(jnp.float32)
 
-        out = jax.lax.dot_general(
-            w, vc.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [K, D]
-        out_ref[:, 0, hi, :] = out.astype(out_ref.dtype)
+        out = jnp.zeros((kdim, d), jnp.float32)
+        for ci in range(c):
+            vc = v_ref[ci, :, hi, :].astype(jnp.float32)   # [L, D]
+            wc = jnp.where(keep_ref[0, ci], w, 0.0)
+            out = out + jax.lax.dot_general(
+                wc, vc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [K, D]
+        out_ref[0, hi] = out.astype(out_ref.dtype)
 
 
 def lineage_attention(
@@ -103,30 +99,39 @@ def lineage_attention(
     kb = beam_width
     b = bk // kb
     scale = 1.0 / math.sqrt(d)
+
+    # Tiny XLA-side prep (shared across layers when XLA CSEs the decode
+    # step, and across heads always): [B, H, K, D] queries and the
+    # [B, C, K, L] lineage-selection & position mask.
+    q_t = q_new.reshape(b, kb, h, d).transpose(0, 2, 1, 3)
+    lanes = jnp.arange(kb, dtype=lineage.dtype)
+    keep = (lineage[:, None, :, :] == lanes[None, :, None, None])
+    keep = jnp.logical_and(
+        keep, (jnp.arange(l) <= index)[None, None, None, :])
+
     kern = functools.partial(_kernel, scale=scale)
     out = pl.pallas_call(
         kern,
         grid=(b,),
-        out_shape=jax.ShapeDtypeStruct((bk, 1, h, d), self_v.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, kb, d), self_v.dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((kb, 1, h, d), lambda bi: (bi, 0, 0, 0),
+            pl.BlockSpec((1, h, kb, d), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kb, l, h, d), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kb, l, h, d), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kb, l), lambda bi: (bi, 0, 0),
+            pl.BlockSpec((1, kb, kb, l), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((kb, 1, h, d), lambda bi: (bi, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, h, kb, d), lambda bi: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(jnp.reshape(jnp.asarray(index, jnp.int32), (1,)), q_new, self_k,
-      self_v, lineage.astype(jnp.int32))
-    return out
+    )(q_t, self_k, self_v, keep)
+    # [B, H, K, D] -> [B·K, 1, H, D]
+    return out.transpose(0, 2, 1, 3).reshape(bk, 1, h, d)
 
 
 def lineage_attention_reference(
