@@ -44,26 +44,46 @@ def enable_compilation_cache():
 
 def build_train_workload(cfg, batch_size: int, seconds_per_utt: float,
                          target_tokens: int = 30):
-    """(state, step_fn, audio_batch) for the production audio train step."""
+    """(state, step_fn, audio_batch) for the production audio train step.
+
+    All inputs are built host-side (numpy) and the example Batch for init
+    is shape-derived — the whole bench runs exactly TWO device programs
+    (model.init and the train step). Every extra program matters: over
+    the axon tunnel, per-program load can cost minutes when the service
+    is busy, and the driver's bench has a hard timeout (BENCH_r02 lesson).
+    """
+    import numpy as np
+
     from speech_tranformer_pytorch_tpu.data.pipeline import (
-        AudioBatch, make_audio_train_step, make_preprocess_fn)
-    from speech_tranformer_pytorch_tpu.train import create_train_state
+        AudioBatch, make_audio_train_step)
+    from speech_tranformer_pytorch_tpu.train import Batch, create_train_state
 
     b, u = batch_size, target_tokens
-    rng = jax.random.PRNGKey(0)
+    host = np.random.default_rng(0)
     n_samples = int(seconds_per_utt * cfg.features.sample_rate)
-    audio = jax.random.normal(rng, (b, n_samples), jnp.float32) * 0.1
-    sample_lens = jnp.full((b,), n_samples, jnp.int32)
-    targets_in = jax.random.randint(rng, (b, u), 4, cfg.model.vocab_size)
-    targets_in = targets_in.at[:, 0].set(1)
-    targets_out = jnp.concatenate(
-        [targets_in[:, 1:], jnp.full((b, 1), 2, jnp.int32)], axis=1)
-    target_lens = jnp.full((b,), u, jnp.int32)
-    batch = AudioBatch(audio, sample_lens, targets_in, targets_out,
-                       target_lens, jnp.ones((b,), bool))
+    audio = (host.standard_normal((b, n_samples)) * 0.1).astype(np.float32)
+    sample_lens = np.full((b,), n_samples, np.int32)
+    targets_in = host.integers(4, cfg.model.vocab_size,
+                               size=(b, u)).astype(np.int32)
+    targets_in[:, 0] = 1
+    targets_out = np.concatenate(
+        [targets_in[:, 1:], np.full((b, 1), 2, np.int32)], axis=1)
+    target_lens = np.full((b,), u, np.int32)
+    batch = AudioBatch(jnp.asarray(audio), jnp.asarray(sample_lens),
+                       jnp.asarray(targets_in), jnp.asarray(targets_out),
+                       jnp.asarray(target_lens), jnp.ones((b,), bool))
 
-    example = jax.jit(make_preprocess_fn(cfg.features, None))(batch)
-    state = create_train_state(cfg, rng, example)
+    # Tiny-shape example for init: parameter shapes do not depend on
+    # batch/time, so init runs on a [1, 64, F] example — the init program
+    # shrinks ~30x, cutting the tunnel's program-load exposure (the train
+    # step is then the only big executable).
+    feat_dt = jnp.dtype(cfg.features.output_dtype)
+    example = Batch(
+        feats=np.zeros((1, 64, cfg.features.num_mel_bins), feat_dt),
+        frame_lens=np.full((1,), 64, np.int32),
+        targets_in=targets_in[:1, :4], targets_out=targets_out[:1, :4],
+        target_lens=np.full((1,), 4, np.int32))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), example)
     return state, make_audio_train_step(cfg), batch
 
 
