@@ -437,7 +437,7 @@ class MultiHeadAttention(nn.Module):
                           else None)
             out = ring_self_attention(q, k, v, kv_lengths, self.ring_mesh,
                                       axis=MODEL_AXIS, batch_axis=batch_axis)
-        elif self.use_flash and deterministic is not None:
+        elif self.use_flash:
             from ..kernels.interface import flash_attention
             out = flash_attention(
                 q, k, v, bias=bias, causal=causal,

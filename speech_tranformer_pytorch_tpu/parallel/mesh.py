@@ -49,6 +49,30 @@ def make_mesh(
     return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_mesh_auto(cfg: MeshConfig) -> Optional[Mesh]:
+    """Auto-mode mesh selection for drivers (Trainer mesh='auto',
+    recognize_cli --mesh auto): build the mesh when the topology supports
+    it, else fall back to ``None`` (single-device path) with a warning.
+
+    Rationale: a Sharded-preset checkpoint (mesh.model_axis=4) must remain
+    decodable on a 1-chip host — auto mode previously hard-failed in
+    ``make_mesh`` ("model axis must divide device count"). The fallback is
+    single-process only: under a multi-process launch the collective-free
+    path would train/decode silently-divergent replicas, so auto stays
+    strict there ('on' is always strict).
+    """
+    n = len(jax.devices())
+    tp = cfg.model_axis
+    if jax.process_count() == 1 and (tp > n or n % tp != 0):
+        import warnings
+        warnings.warn(
+            f"mesh auto mode: cfg.mesh.model_axis={tp} does not fit the "
+            f"{n} local device(s); falling back to the single-device path "
+            "(pass --mesh on / an explicit Mesh to make this an error)")
+        return None
+    return make_mesh(cfg)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

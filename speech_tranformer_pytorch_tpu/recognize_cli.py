@@ -58,9 +58,15 @@ def main(argv=None):
     manifest = args.manifest or os.path.join(args.data_dir,
                                              f"{args.split}.jsonl")
     mesh = None
-    if args.mesh == "on" or (args.mesh == "auto" and cfg.mesh.model_axis > 1):
+    if args.mesh == "on":
         from .parallel.mesh import make_mesh
         mesh = make_mesh(cfg.mesh)
+    elif args.mesh == "auto" and cfg.mesh.model_axis > 1:
+        # Fall back to single-device decode (warning) when the checkpoint's
+        # model_axis does not fit this host's devices — a Sharded-preset
+        # checkpoint stays decodable on a 1-chip box; 'on' is the strict path.
+        from .parallel.mesh import make_mesh_auto
+        mesh = make_mesh_auto(cfg.mesh)
     from .recognize import load_recognizer
     rec = load_recognizer(cfg, os.path.join(args.work_dir, "checkpoints"),
                           vocab_path=cfg.data.vocab_path or None, mesh=mesh)

@@ -73,8 +73,13 @@ class Trainer:
             use_mesh = (jax.process_count() > 1 or cfg.mesh.model_axis > 1)
             self.mesh = None
             if use_mesh:
-                from .parallel.mesh import make_mesh
-                self.mesh = make_mesh(cfg.mesh)
+                # make_mesh_auto falls back to single-device (with a
+                # warning) when model_axis does not fit the local devices —
+                # single-process only; multi-process stays strict.
+                from .parallel.mesh import make_mesh, make_mesh_auto
+                self.mesh = (make_mesh_auto(cfg.mesh)
+                             if jax.process_count() == 1
+                             else make_mesh(cfg.mesh))
         elif isinstance(mesh, Mesh):
             self.mesh = mesh
         elif mesh is None:
@@ -176,6 +181,7 @@ class Trainer:
         self.start_epoch = 0
         self.start_batch = 0
         self.best_dev_loss = float("inf")
+        self.best_dev_step = -1
         self.best_ckpt = None
         if resume:
             template = CheckpointState(self.state, self.rng, 0, 0,
@@ -189,11 +195,22 @@ class Trainer:
             self.rng = restored.rng
             self.start_epoch = restored.epoch
             self.start_batch = restored.batch_in_epoch
+            # Resume-safe best-model tracking: a post-restart dev eval only
+            # overwrites work_dir/best if it beats the PRE-crash best.
+            self.best_dev_loss = restored.best_dev_loss
+            self.best_dev_step = restored.best_dev_step
             print(f"resumed from step {step} "
-                  f"(epoch {self.start_epoch}, batch {self.start_batch})")
+                  f"(epoch {self.start_epoch}, batch {self.start_batch}, "
+                  f"best_dev_loss {self.best_dev_loss:.4f})")
 
     def _example_audio_batch(self) -> AudioBatch:
         return next(iter(self.batcher.epoch(0)))
+
+    def _ckpt_state(self, epoch: int, batch_in_epoch: int) -> CheckpointState:
+        return CheckpointState(self.state, self.rng, epoch, batch_in_epoch,
+                               self.cfg.model_hash(),
+                               best_dev_loss=self.best_dev_loss,
+                               best_dev_step=self.best_dev_step)
 
     def _globalize(self, abatch: AudioBatch) -> AudioBatch:
         # Idempotent so the train loop can globalize inside the prefetch
@@ -245,9 +262,7 @@ class Trainer:
                     window_audio = window_tokens = 0.0
 
                 if step % t.checkpoint_every_steps == 0:
-                    self.ckpt.save(step, CheckpointState(
-                        self.state, self.rng, epoch, bi + 1,
-                        cfg.model_hash()))
+                    self.ckpt.save(step, self._ckpt_state(epoch, bi + 1))
 
                 if (self.dev_ds is not None and t.eval_every_steps > 0
                         and step % t.eval_every_steps == 0):
@@ -268,8 +283,7 @@ class Trainer:
                 window_audio = window_tokens = 0.0
             # end-of-epoch checkpoint (reference: per-epoch torch.save)
             self.ckpt.save(int(jax.device_get(self.state.step)),
-                           CheckpointState(self.state, self.rng, epoch + 1, 0,
-                                           cfg.model_hash()))
+                           self._ckpt_state(epoch + 1, 0))
         self._finish(t.num_epochs, 0)
         return self.state
 
@@ -282,14 +296,13 @@ class Trainer:
         self.logger.log(step, dev, prefix="dev_")
         if dev["loss"] < self.best_dev_loss:
             self.best_dev_loss = dev["loss"]
+            self.best_dev_step = step
             # Reference parity: keep the best-dev model separately
             # (Solver best-model tracking, SURVEY.md §2.1).
             if self.best_ckpt is None:
                 self.best_ckpt = Checkpointer(
                     f"{self.work_dir}/best", max_to_keep=1)
-            self.best_ckpt.save(step, CheckpointState(
-                self.state, self.rng, epoch, batch_in_epoch,
-                self.cfg.model_hash()))
+            self.best_ckpt.save(step, self._ckpt_state(epoch, batch_in_epoch))
 
     def evaluate(self, *, decode_cer: bool = False,
                  max_decode_batches: Optional[int] = None) -> Dict[str, float]:
@@ -381,8 +394,7 @@ class Trainer:
 
     def _finish(self, epoch: int, batch: int) -> None:
         self.ckpt.save(int(jax.device_get(self.state.step)),
-                       CheckpointState(self.state, self.rng, epoch, batch,
-                                       self.cfg.model_hash()))
+                       self._ckpt_state(epoch, batch))
         self.ckpt.wait()
         if self.best_ckpt is not None:
             self.best_ckpt.wait()

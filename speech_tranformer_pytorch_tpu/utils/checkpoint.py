@@ -21,12 +21,21 @@ from ..train import TrainState
 
 @dataclasses.dataclass
 class CheckpointState:
-    """Everything needed for bit-exact resume."""
+    """Everything needed for bit-exact resume.
+
+    ``best_dev_loss``/``best_dev_step`` make best-model tracking survive
+    restarts (reference parity: the Solver tracks the best dev model across
+    the whole run — SURVEY.md §2.1 "Trainer/solver"): without them a resumed
+    run's first dev eval would always overwrite ``work_dir/best``, possibly
+    with a worse model than the pre-crash best.
+    """
     state: TrainState
     rng: jax.Array
     epoch: int
     batch_in_epoch: int
     config_hash: str
+    best_dev_loss: float = float("inf")
+    best_dev_step: int = -1
 
 
 class Checkpointer:
@@ -46,6 +55,8 @@ class Checkpointer:
             "meta": {
                 "epoch": np.asarray(ckpt.epoch, np.int64),
                 "batch_in_epoch": np.asarray(ckpt.batch_in_epoch, np.int64),
+                "best_dev_loss": np.asarray(ckpt.best_dev_loss, np.float64),
+                "best_dev_step": np.asarray(ckpt.best_dev_step, np.int64),
             },
         }
         self.mngr.save(step, args=ocp.args.StandardSave(payload),
@@ -68,10 +79,23 @@ class Checkpointer:
             "state": template.state,
             "rng": template.rng,
             "meta": {"epoch": np.asarray(0, np.int64),
-                     "batch_in_epoch": np.asarray(0, np.int64)},
+                     "batch_in_epoch": np.asarray(0, np.int64),
+                     "best_dev_loss": np.asarray(np.inf, np.float64),
+                     "best_dev_step": np.asarray(-1, np.int64)},
         }
-        restored = self.mngr.restore(
-            step, args=ocp.args.StandardRestore(payload))
+        try:
+            restored = self.mngr.restore(
+                step, args=ocp.args.StandardRestore(payload))
+        except (ValueError, KeyError):
+            # Checkpoint written before best-model meta existed: restore
+            # without those keys and keep the template defaults (inf / -1 —
+            # first dev eval re-seeds the best tracker).
+            payload["meta"].pop("best_dev_loss")
+            payload["meta"].pop("best_dev_step")
+            restored = self.mngr.restore(
+                step, args=ocp.args.StandardRestore(payload))
+            restored["meta"]["best_dev_loss"] = np.asarray(np.inf)
+            restored["meta"]["best_dev_step"] = np.asarray(-1)
         hash_path = os.path.join(self.directory, "config_hash.txt")
         config_hash = ""
         if os.path.exists(hash_path):
@@ -80,7 +104,9 @@ class Checkpointer:
             state=restored["state"], rng=restored["rng"],
             epoch=int(restored["meta"]["epoch"]),
             batch_in_epoch=int(restored["meta"]["batch_in_epoch"]),
-            config_hash=config_hash)
+            config_hash=config_hash,
+            best_dev_loss=float(restored["meta"]["best_dev_loss"]),
+            best_dev_step=int(restored["meta"]["best_dev_step"]))
 
     def wait(self) -> None:
         self.mngr.wait_until_finished()

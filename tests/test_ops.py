@@ -130,6 +130,26 @@ class TestMetrics:
         out = metrics.cer([[1, 2, 3, 4]], [[1, 2, 3]])
         np.testing.assert_allclose(out["cer"], 25.0)
 
+    def test_cer_native_corpus_vs_python_agree(self, rng):
+        """The batched flat-buffer C++ corpus path (one ctypes call for the
+        whole eval set) must score identically to the pure-Python per-pair
+        loop, including empty refs/hyps mixed in."""
+        refs = [rng.integers(0, 10, rng.integers(0, 30)).tolist()
+                for _ in range(37)]
+        hyps = [rng.integers(0, 10, rng.integers(0, 30)).tolist()
+                for _ in range(37)]
+        refs[5], hyps[9] = [], []          # empty-sequence edges
+        want_err = sum(metrics._edit_distance_py(r, h)
+                       for r, h in zip(refs, hyps))
+        want_tot = sum(len(r) for r in refs)
+        out = metrics.cer(refs, hyps)
+        assert out["errors"] == float(want_err)
+        assert out["ref_tokens"] == float(want_tot)
+        lib = metrics._load_native()
+        if lib is not None:   # exercise the native entry point directly
+            err, tot = metrics._corpus_errors_native(lib, refs, hyps)
+            assert (err, tot) == (want_err, want_tot)
+
     def test_wer(self):
         out = metrics.wer([["hello", "world"]], [["hello", "there"]])
         np.testing.assert_allclose(out["wer"], 50.0)

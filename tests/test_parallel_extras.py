@@ -92,3 +92,35 @@ class TestRingAttention:
         with pytest.raises(ValueError):
             ring_attention(jnp.zeros((1, 30, 1, 8)), jnp.zeros((1, 30, 1, 8)),
                            jnp.zeros((1, 30, 1, 8)), jnp.array([30]), mesh)
+
+
+class TestMakeMeshAuto:
+    """ADVICE r3 #5: auto-mode mesh selection falls back to single-device
+    (with a warning) when model_axis does not fit the local devices, so a
+    Sharded-preset checkpoint stays decodable on a smaller host; a valid
+    topology still builds the mesh."""
+
+    def test_builds_when_divisible(self):
+        from speech_tranformer_pytorch_tpu.config import MeshConfig
+        from speech_tranformer_pytorch_tpu.parallel.mesh import make_mesh_auto
+        mesh = make_mesh_auto(MeshConfig(model_axis=2))
+        assert mesh is not None and mesh.shape["model"] == 2
+
+    def test_falls_back_when_indivisible(self):
+        import warnings
+        from speech_tranformer_pytorch_tpu.config import MeshConfig
+        from speech_tranformer_pytorch_tpu.parallel.mesh import make_mesh_auto
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            mesh = make_mesh_auto(MeshConfig(model_axis=3))  # 3 ∤ 8 devices
+        assert mesh is None
+        assert any("falling back" in str(x.message) for x in w)
+
+    def test_falls_back_when_too_large(self):
+        import warnings
+        from speech_tranformer_pytorch_tpu.config import MeshConfig
+        from speech_tranformer_pytorch_tpu.parallel.mesh import make_mesh_auto
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            mesh = make_mesh_auto(MeshConfig(model_axis=16))
+        assert mesh is None and len(w) == 1

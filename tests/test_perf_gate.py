@@ -23,13 +23,25 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-TRAIN_AUDIO_SPS_FLOOR = 15000.0   # measured 19.4k (BENCHMARKS.md)
-BEAM5_RTF_CEILING = 0.00020       # measured 0.000148 at B=16, max_len=50
+TRAIN_AUDIO_SPS_FLOOR = 17000.0   # measured 19.4-19.5k across two stable
+                                  # rounds (BENCHMARKS.md); 13% jitter
+                                  # margin — the old 15k floor left a 23%
+                                  # blind spot where a real single-digit
+                                  # regression could hide under tunnel noise
+BEAM5_RTF_CEILING = 0.00018       # measured 0.000148 at B=16, max_len=50
                                   # (2026-08-20, candidate-topk kernel +
-                                  # head-major cross cache); 1.35x headroom
-                                  # — the kernel silently falling off its
-                                  # Pallas path alone costs ~1.25x, so the
-                                  # gate now catches that
+                                  # head-major cross cache); 1.22x headroom.
+                                  # The topk kernel silently falling off its
+                                  # Pallas path costs ~1.25-1.31x isolated
+                                  # (B=32: 54.3 vs 41.4 ms) -> RTF ~0.000185+,
+                                  # ABOVE this ceiling — a silent fallback
+                                  # now trips the gate (the old 0.00020 let
+                                  # it pass; ADVICE r3 #1)
+GREEDY_RTF_CEILING = 0.00013      # measured 0.000095 at B=16, max_len=50
+                                  # (BENCHMARKS.md); 1.35x headroom — no
+                                  # greedy gate existed before r4, so a
+                                  # KV-cache/gather regression on the
+                                  # greedy path was invisible
 
 requires_tpu = pytest.mark.skipif(
     jax.default_backend() != "tpu",
@@ -84,6 +96,40 @@ def test_beam5_rtf_ceiling():
     assert rtf < BEAM5_RTF_CEILING, (
         f"beam-5 decode regressed: RTF {rtf:.6f} > ceiling "
         f"{BEAM5_RTF_CEILING} (BENCHMARKS.md measured 0.000148)")
+
+
+@requires_tpu
+def test_greedy_rtf_ceiling():
+    """Greedy decode (beam path's little sibling — same KV cache, no beam
+    bookkeeping): measured 0.000095 RTF at B=16/max_len=50 (BENCHMARKS.md
+    'greedy 15.2 ms'); a cache-layout or gather regression here was
+    previously ungated."""
+    from speech_tranformer_pytorch_tpu.config import get_config
+    from speech_tranformer_pytorch_tpu.decoding import greedy_decode_jit
+    from speech_tranformer_pytorch_tpu.models import SpeechTransformer
+
+    cfg = get_config("base")
+    b, frames = 16, 1000
+    rng = jax.random.PRNGKey(0)
+    model = SpeechTransformer(cfg.model)
+    feats = jax.random.normal(rng, (b, frames, cfg.model.input_dim),
+                              jnp.float32)
+    fl = jnp.full((b,), frames, jnp.int32)
+    params = model.init(rng, feats, fl, jnp.zeros((b, 5), jnp.int32),
+                        jnp.full((b,), 5, jnp.int32))
+    fn = jax.jit(lambda p, f, l: greedy_decode_jit(model, p, f, l,
+                                                   max_len=50))
+    tokens, lengths = fn(params, feats, fl)
+    _sync(lengths)
+    runs = 8
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        tokens, lengths = fn(params, feats, fl)
+    _sync(lengths)
+    rtf = (time.perf_counter() - t0) / runs / (b * 10.0)
+    assert rtf < GREEDY_RTF_CEILING, (
+        f"greedy decode regressed: RTF {rtf:.6f} > ceiling "
+        f"{GREEDY_RTF_CEILING} (BENCHMARKS.md measured 0.000095)")
 
 
 @requires_tpu

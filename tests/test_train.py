@@ -108,6 +108,53 @@ def test_trainer_dev_cer(tmp_path):
     assert dev["tokens"] > 0
 
 
+def test_best_model_tracking_resume_safe(tmp_path):
+    """VERDICT r3 item #4: best_dev_loss survives checkpoint/resume, so a
+    resumed run's first (worse) dev eval leaves work_dir/best untouched —
+    only a genuinely better dev loss overwrites the pre-crash best."""
+    from speech_tranformer_pytorch_tpu.data.prepare import prepare_synthetic
+    from speech_tranformer_pytorch_tpu.runner import Trainer
+    from speech_tranformer_pytorch_tpu.utils.checkpoint import Checkpointer
+
+    cfg = tiny_config()
+    cfg = cfg.replace(model=cfg.model.replace(
+        vocab_size=32, d_model=64, num_heads=2, d_ff=128,
+        num_encoder_layers=1, num_decoder_layers=1, dropout_rate=0.0,
+        subsample_channels=8))
+    cfg = cfg.replace(train=cfg.train.replace(
+        batch_size=4, num_epochs=50, log_every=100,
+        checkpoint_every_steps=100, eval_every_steps=0))
+    paths = prepare_synthetic(str(tmp_path / "c"), num_train=8, num_dev=0,
+                              num_test=0, vocab_size=16, seed=0)
+    wd = str(tmp_path / "w")
+
+    tr = Trainer(cfg, work_dir=wd, train_manifest=paths["train"])
+    tr.evaluate = lambda **kw: {"loss": 1.0, "tokens": 10.0}
+    tr._dev_eval(0, 0)                       # best model @ step 0, loss 1.0
+    assert tr.best_dev_loss == 1.0
+    tr.train(max_steps=2)                    # _finish persists best meta
+
+    tr2 = Trainer(cfg, work_dir=wd, train_manifest=paths["train"],
+                  resume=True)
+    assert tr2.best_dev_loss == 1.0, "best_dev_loss not restored on resume"
+    assert tr2.best_dev_step == 0
+
+    tr2.evaluate = lambda **kw: {"loss": 2.0, "tokens": 10.0}   # worse
+    tr2._dev_eval(0, 0)
+    assert tr2.best_dev_loss == 1.0
+    best = Checkpointer(f"{wd}/best")
+    assert best.latest_step() == 0, "worse dev eval overwrote work_dir/best"
+    best.close()
+
+    tr2.evaluate = lambda **kw: {"loss": 0.5, "tokens": 10.0}   # better
+    tr2._dev_eval(0, 0)
+    assert tr2.best_dev_loss == 0.5
+    tr2.best_ckpt.wait()
+    best = Checkpointer(f"{wd}/best")
+    assert best.latest_step() == 2
+    best.close()
+
+
 def test_trainer_grain_pipeline(tmp_path):
     """Trainer with the grain-backed pipeline selected via config."""
     from speech_tranformer_pytorch_tpu.data.prepare import prepare_synthetic
