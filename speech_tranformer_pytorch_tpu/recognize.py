@@ -45,9 +45,14 @@ class Recognizer:
         self.model = build_model(cfg, mesh=mesh)
         if mesh is not None:
             from .parallel.sharding import param_shardings
+            # Host snapshot first: device_put of a device-COMMITTED array
+            # onto a cross-process sharding needs backend cross-host
+            # transfers (unsupported on CPU, DCN-flag-gated on TPU); a
+            # numpy tree is fully host-replicated, so each process places
+            # its own shards locally (same trick as __graft_entry__).
+            host = jax.tree.map(np.asarray, self.params)
             self.params = jax.tree.map(
-                jax.device_put, self.params,
-                param_shardings(mesh, self.params))
+                jax.device_put, host, param_shardings(mesh, host))
         self.tokenizer = tokenizer
         self.preprocess = jax.jit(make_preprocess_fn(cfg.features, None))
         self._beam_fns = {}
@@ -76,8 +81,12 @@ class Recognizer:
             self._beam_fns[key] = fn
         return self._beam_fns[key]
 
-    def decode_batch(self, abatch: AudioBatch, *, beam_size: int,
-                     max_len: int, alpha: float) -> List[List[int]]:
+    def _decode_raw(self, abatch: AudioBatch, *, beam_size: int,
+                    max_len: int, alpha: float):
+        """Run the (possibly sharded) decode step; returns best-hypothesis
+        ``(tokens, lengths)`` as jax arrays — global arrays in mesh mode
+        (each host holds only its addressable shards under a multi-process
+        launch)."""
         if self.mesh is not None:
             from .parallel.sharding import globalize_audio_batch
             abatch = globalize_audio_batch(self.mesh, abatch)
@@ -85,15 +94,52 @@ class Recognizer:
         fn = self._beam_fn(beam_size, max_len, alpha)
         out = fn(self.params, batch.feats, batch.frame_lens)
         if beam_size == 1:
-            tokens, lengths = out
+            return out
+        return out.tokens[:, 0], out.lengths[:, 0]
+
+    def decode_batch(self, abatch: AudioBatch, *, beam_size: int,
+                     max_len: int, alpha: float) -> List[List[int]]:
+        tokens, lengths = self._decode_raw(abatch, beam_size=beam_size,
+                                           max_len=max_len, alpha=alpha)
+        t = np.asarray(tokens)
+        l = np.asarray(lengths)
+        hyps = [t[i, :l[i]].tolist() for i in range(t.shape[0])]
+        return [[x for x in h if x != EOS] for h in hyps]
+
+    def _decode_batch_rows(self, abatch: AudioBatch, rows, *, beam_size: int,
+                           max_len: int, alpha: float, distributed: bool):
+        """Decode one (possibly host-sharded) batch; returns
+        ``(manifest_rows, hyp_lists)`` aligned 1:1.
+
+        Distributed mode pairs hypotheses with manifest rows by globalizing
+        a row-id vector with EXACTLY the same 'data'-axis sharding as the
+        batch itself, then all-gathering it alongside the decoded tokens —
+        the hyp↔utterance pairing is then correct by construction for any
+        mesh device order, and padded remainder rows (row id -1) drop out."""
+        tokens, lengths = self._decode_raw(abatch, beam_size=beam_size,
+                                           max_len=max_len, alpha=alpha)
+        if not distributed:
             t = np.asarray(tokens)
             l = np.asarray(lengths)
-            hyps = [t[i, :l[i]].tolist() for i in range(t.shape[0])]
-        else:
-            t = np.asarray(out.tokens[:, 0])
-            l = np.asarray(out.lengths[:, 0])
-            hyps = [t[i, :l[i]].tolist() for i in range(t.shape[0])]
-        return [[x for x in h if x != EOS] for h in hyps]
+            hyps = [[x for x in t[i, :l[i]].tolist() if x != EOS]
+                    for i in range(len(rows))]
+            return list(rows), hyps
+
+        from jax.experimental import multihost_utils
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.mesh import DATA_AXIS
+        bsz = int(abatch.audio.shape[0])
+        local_rows = np.full((bsz,), -1, np.int32)
+        local_rows[:len(rows)] = rows
+        g_rows = jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, P(DATA_AXIS)), local_rows)
+        gather = lambda x: np.asarray(
+            multihost_utils.process_allgather(x, tiled=True))
+        t, l, r = gather(tokens), gather(lengths), gather(g_rows)
+        keep = np.nonzero(r >= 0)[0]
+        hyps = [[x for x in t[i, :l[i]].tolist() if x != EOS] for i in keep]
+        return [int(x) for x in r[keep]], hyps
 
     def decode_manifest(
         self,
@@ -105,11 +151,39 @@ class Recognizer:
         batch_size: int = 16,
         max_frames_per_batch: int = 0,
         out_path: Optional[str] = None,
+        distributed: bool = False,
     ) -> Dict[str, float]:
+        """Decode + score a manifest. ``distributed=True`` is the multi-host
+        data-parallel mode (the BASELINE north-star "multi-host
+        data-parallel beam search"): every host decodes its
+        ``process_index``-strided shard of each globally-planned batch
+        through the sharded decode step, then all-gathers hypotheses and
+        row identities so every host scores the FULL manifest and returns
+        identical scores (the same pattern as Trainer._greedy_batch;
+        ``out_path`` is written by host 0 only). ``batch_size`` is
+        per-host in distributed mode, matching the Trainer's per-host
+        batch-size convention."""
         d = self.cfg.decode
         beam_size = beam_size if beam_size is not None else d.beam_size
         max_len = max_len if max_len is not None else d.max_decode_len
         alpha = alpha if alpha is not None else d.length_penalty
+
+        nproc = jax.process_count()
+        if distributed:
+            if self.mesh is None:
+                raise ValueError(
+                    "decode_manifest(distributed=True) needs a mesh: "
+                    "construct the Recognizer with mesh=... (recognize_cli "
+                    "--distributed builds one automatically)")
+        elif nproc > 1:
+            raise RuntimeError(
+                "decode_manifest without distributed=True under a "
+                f"multi-process launch ({nproc} processes): every host "
+                "would feed the FULL manifest into globalize_audio_batch, "
+                "which expects per-host shards — pass distributed=True "
+                "(recognize_cli --distributed).")
+        shard_index = jax.process_index() if distributed else 0
+        num_shards = nproc if distributed else 1
 
         ds = ManifestDataset(manifest_path, self.cfg.data, self.cfg.features)
         batcher = BucketedBatcher(
@@ -118,14 +192,18 @@ class Recognizer:
             target_len=min(self.cfg.data.max_target_len,
                            self.cfg.model.max_target_positions),
             shuffle=False, drop_remainder=False,
+            shard_index=shard_index, num_shards=num_shards,
             max_frames_per_batch=max_frames_per_batch)
         if self.mesh is not None:
-            # The 'data' axis must divide every batch's row count; round
-            # each bucket's batch size up (remainder batches already pad to
-            # the bucket size, padded rows carry valid=False).
+            # The 'data' axis must divide every GLOBAL batch's row count
+            # (per-host rows × num_shards); round each bucket's per-host
+            # batch size up (remainder batches already pad to the bucket
+            # size, padded rows carry valid=False).
+            import math
             dp = int(self.mesh.shape.get("data", 1))
+            q = dp // math.gcd(dp, num_shards)
             batcher.bucket_batch_sizes = [
-                -(-b // dp) * dp for b in batcher.bucket_batch_sizes]
+                -(-b // q) * q for b in batcher.bucket_batch_sizes]
 
         def _batch_max_len(abatch: AudioBatch) -> int:
             if d.max_len_ratio <= 0:
@@ -149,17 +227,22 @@ class Recognizer:
         # Steady-state RTF: the first call at each (shape, decode-args) key
         # includes XLA compilation — count it in rtf_with_compile but keep
         # it out of the headline RTF (the steady-state number is what an
-        # N-batch production eval converges to).
+        # N-batch production eval converges to). In distributed mode the
+        # per-host wall time covers the GLOBAL batch (the decode step and
+        # the gather are collective, so hosts are time-synchronized) and
+        # batch_audio counts all shards' utterances — RTF semantics match
+        # the single-process number.
         audio_steady = t_steady = 0.0
         seen_shapes = set()
         for abatch, rows in batcher.epoch(0, with_rows=True):
             bml = _batch_max_len(abatch)
             key = (abatch.audio.shape, beam_size, bml, alpha)
             t0 = time.perf_counter()
-            out = self.decode_batch(abatch, beam_size=beam_size,
-                                    max_len=bml, alpha=alpha)
+            g_rows, out = self._decode_batch_rows(
+                abatch, rows, beam_size=beam_size, max_len=bml, alpha=alpha,
+                distributed=distributed)
             dt = time.perf_counter() - t0
-            batch_audio = sum(ds.entries[i]["num_samples"] for i in rows) / sr
+            batch_audio = sum(ds.entries[i]["num_samples"] for i in g_rows) / sr
             t_total += dt
             audio_total += batch_audio
             if key in seen_shapes:
@@ -167,10 +250,10 @@ class Recognizer:
                 audio_steady += batch_audio
             else:
                 seen_shapes.add(key)
-            for row, idx in enumerate(rows):
+            for idx, h in zip(g_rows, out):
                 e = ds.entries[idx]
                 refs.append(e["tokens"])
-                hyps.append(out[row])
+                hyps.append(h)
                 utt_ids.append(e["utt_id"])
 
         if audio_steady == 0.0 and audio_total > 0.0:
@@ -180,11 +263,12 @@ class Recognizer:
             for abatch, rows in batcher.epoch(0, with_rows=True):
                 bml = _batch_max_len(abatch)
                 t0 = time.perf_counter()
-                self.decode_batch(abatch, beam_size=beam_size,
-                                  max_len=bml, alpha=alpha)
+                g_rows, _ = self._decode_batch_rows(
+                    abatch, rows, beam_size=beam_size, max_len=bml,
+                    alpha=alpha, distributed=distributed)
                 t_steady += time.perf_counter() - t0
                 audio_steady += sum(
-                    ds.entries[i]["num_samples"] for i in rows) / sr
+                    ds.entries[i]["num_samples"] for i in g_rows) / sr
 
         scores = cer(refs, hyps)
         scores["rtf"] = t_steady / max(audio_steady, 1e-9)
@@ -192,7 +276,7 @@ class Recognizer:
         scores["audio_seconds"] = audio_total
         scores["utterances"] = float(len(hyps))
 
-        if out_path:
+        if out_path and (not distributed or jax.process_index() == 0):
             with open(out_path, "w", encoding="utf-8") as f:
                 for uid, h in zip(utt_ids, hyps):
                     text = (self.tokenizer.decode(h)

@@ -35,7 +35,19 @@ def main(argv=None):
                     help="'auto': sharded decode over a ('data','model') "
                          "mesh when mesh.model_axis>1 (TP-trained "
                          "checkpoints); 'on' forces it; 'off' single-device")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host data-parallel decode: call "
+                         "jax.distributed.initialize(), build the mesh over "
+                         "ALL devices, decode each host's manifest shard "
+                         "through the sharded beam step and all-gather "
+                         "hypotheses so every host reports the full-"
+                         "manifest scores (--out written by host 0; "
+                         "--batch-size is per host)")
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
 
     # Prefer the exact training config saved by train_cli; --preset/--set
     # remain as overrides on top (reference: recognize.py re-specifies the
@@ -58,7 +70,9 @@ def main(argv=None):
     manifest = args.manifest or os.path.join(args.data_dir,
                                              f"{args.split}.jsonl")
     mesh = None
-    if args.mesh == "on":
+    if args.distributed or args.mesh == "on":
+        # Distributed decode always needs the mesh (strict — a bad
+        # topology is an error, not a silent single-host decode).
         from .parallel.mesh import make_mesh
         mesh = make_mesh(cfg.mesh)
     elif args.mesh == "auto" and cfg.mesh.model_axis > 1:
@@ -72,7 +86,8 @@ def main(argv=None):
                           vocab_path=cfg.data.vocab_path or None, mesh=mesh)
     scores = rec.decode_manifest(
         manifest, beam_size=args.beam, max_len=args.max_len,
-        alpha=args.alpha, batch_size=args.batch_size, out_path=args.out)
+        alpha=args.alpha, batch_size=args.batch_size, out_path=args.out,
+        distributed=args.distributed)
     print(json.dumps(scores))
 
 

@@ -114,3 +114,44 @@ def test_mesh_recognizer_greedy(setup):
     scores = rec.decode_manifest(paths["train"], beam_size=1, max_len=8,
                                  batch_size=8)
     assert scores["cer"] <= 5.0
+
+
+def test_distributed_decode_single_process_matches_plain(setup, tmp_path):
+    """decode_manifest(distributed=True) under a single process exercises
+    the full multi-host path (host-sharded batcher with num_shards=1,
+    row-id globalize + allgather pairing) and must reproduce the plain
+    Recognizer's scores and per-utterance hypotheses exactly (VERDICT r3
+    item #1 — the 2-process version lives in test_multiprocess.py)."""
+    from speech_tranformer_pytorch_tpu.parallel import make_mesh
+
+    cfg, paths, work, params = setup
+    plain = Recognizer(cfg, params)
+    want_path = str(tmp_path / "hyps_plain.jsonl")
+    want = plain.decode_manifest(paths["train"], beam_size=3, max_len=8,
+                                 batch_size=4, out_path=want_path)
+
+    mesh = make_mesh(model_axis_size=2)   # DP4 x TP2 on the fake devices
+    rec = Recognizer(cfg, params, mesh=mesh)
+    got_path = str(tmp_path / "hyps_dist.jsonl")
+    got = rec.decode_manifest(paths["train"], beam_size=3, max_len=8,
+                              batch_size=4, out_path=got_path,
+                              distributed=True)
+    assert got["utterances"] == want["utterances"] == 8
+    assert got["cer"] == want["cer"]
+    assert got["errors"] == want["errors"]
+    want_hyps = {json.loads(l)["utt_id"]: json.loads(l)["tokens"]
+                 for l in open(want_path)}
+    got_hyps = {json.loads(l)["utt_id"]: json.loads(l)["tokens"]
+                for l in open(got_path)}
+    assert got_hyps == want_hyps
+
+
+def test_decode_manifest_refuses_bare_multiprocess(setup, monkeypatch):
+    """Without distributed=True a multi-process launch must be refused —
+    every host would feed the full manifest into globalize_audio_batch
+    (mirrors make_audio_train_step's divergent-replica guard)."""
+    cfg, paths, work, params = setup
+    rec = Recognizer(cfg, params)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(RuntimeError, match="distributed=True"):
+        rec.decode_manifest(paths["train"], beam_size=1, max_len=8)
