@@ -174,6 +174,13 @@ class TrainConfig(_Replace):
                                        # already fuses the optax chain to the
                                        # Adam bandwidth floor. Kept as a
                                        # tested option; BENCHMARKS.md
+    moment_dtype: str = "float32"      # adam mu/nu storage dtype: "bfloat16"
+                                       # halves optimizer-state HBM (~the
+                                       # measured 1.9 ms/step bandwidth floor
+                                       # is mu/nu traffic); moments are
+                                       # computed in f32 every step and
+                                       # rounded on store. Applies to both
+                                       # the optax chain and FusedAdam.
     dropout_rng_impl: str = "rbg"      # PRNG for dropout masks: "rbg" uses the
                                        # TPU-native XLA RngBitGenerator (bulk
                                        # threefry bits measured 42% of the base
@@ -267,6 +274,9 @@ class ExperimentConfig:
             errs.append(f"data.max_target_len {d.max_target_len} exceeds "
                         f"model.max_target_positions {m.max_target_positions}"
                         f" (targets would overflow the positional table)")
+        if t.moment_dtype not in ("float32", "bfloat16"):
+            errs.append(f"train.moment_dtype {t.moment_dtype!r} not in "
+                        f"('float32', 'bfloat16')")
         if d.bucket_boundaries and max(d.bucket_boundaries) < d.max_source_frames:
             errs.append(f"largest bucket boundary "
                         f"{max(d.bucket_boundaries)} < data.max_source_frames "

@@ -369,7 +369,7 @@ def _fa_bwd_dq_kernel(kv_len_ref,
 
 def _flash_bwd_impl(q, k, v, o, g, lse, kv_lengths, *, causal: bool,
                     block_q: int = 256, block_k: int = 512,
-                    interpret=None):
+                    interpret=None, dlse=None):
     b, h, tq, d = q.shape
     skv = k.shape[2]
     sm_scale = 1.0 / (d ** 0.5)
@@ -387,6 +387,13 @@ def _flash_bwd_impl(q, k, v, o, g, lse, kv_lengths, *, causal: bool,
     # di = rowsum(o * dO), f32 [B,H,Tq_p,1]
     di = jnp.sum(op.astype(jnp.float32) * gp.astype(jnp.float32),
                  axis=-1, keepdims=True)
+    if dlse is not None:
+        # lse cotangent (the stats-returning entry point, used as the ring
+        # per-block body): ∂lse_t/∂q_t = scale·Σ_s p_ts k_s and
+        # ∂lse_t/∂k_s = scale·Σ_t p_ts q_t add ds_extra = p·dlse_t, which
+        # folds into the existing ds = p·(dp − di) as di_eff = di − dlse —
+        # the two backward kernels run UNCHANGED (dv has no lse term).
+        di = di - dlse.astype(jnp.float32)   # dlse is [B,H,Tq_p,1] (padded)
     # Padded q rows must not contribute to dk/dv: p==0 via lse=+big.
     if tq_p != tq:
         row_ok = (jnp.arange(tq_p) < tq)[None, None, :, None]
@@ -523,6 +530,53 @@ def _bwd(causal, res, g):
 
 
 _flash_attention_bhtd.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Stats-returning entry point: (o, lse) with full VJP — the per-block body
+# for ring attention (parallel/ring_attention.py body='flash'): ring merges
+# per-block outputs with the standard logsumexp combine, so it needs each
+# block's lse, and training needs gradients THROUGH that combine. The lse
+# cotangent needs no new kernels (see _flash_bwd_impl's di_eff fold).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_stats_bhtd(q, k, v, kv_lengths, causal):
+    return _flash_fwd_bhtd(q, k, v, kv_lengths, causal=causal,
+                           save_stats=True)
+
+
+def _fwd_stats(q, k, v, kv_lengths, causal):
+    o, lse = _flash_fwd_bhtd(q, k, v, kv_lengths, causal=causal,
+                             save_stats=True)
+    return (o, lse), (q, k, v, o, lse, kv_lengths)
+
+
+def _bwd_stats(causal, res, cot):
+    do, dlse = cot
+    q, k, v, o, lse, kv_lengths = res
+    dq, dk, dv = _flash_bwd_impl(q, k, v, o, do, lse, kv_lengths,
+                                 causal=causal, dlse=dlse)
+    return dq, dk, dv, None
+
+
+_flash_stats_bhtd.defvjp(_fwd_stats, _bwd_stats)
+
+
+def flash_block_stats(
+    q: jnp.ndarray,            # [B, H, T, D]
+    k: jnp.ndarray,            # [B, H, S, D]
+    v: jnp.ndarray,
+    kv_lengths: jnp.ndarray,   # [B] int32 valid key count (from index 0)
+    *,
+    causal: bool = False,
+):
+    """Differentiable flash attention returning ``(o, lse)`` in kernel
+    layout [B, H, T, D]; ``lse`` is [B, H, T_pad, 1] f32 (query rows padded
+    to the q-block multiple — slice to T before combining). Rows whose keys
+    are fully masked return o=0 and lse≈MASK_VALUE (a very negative FINITE
+    number), so a logsumexp merge over blocks needs no -inf special cases."""
+    return _flash_stats_bhtd(q, k, v, kv_lengths.astype(jnp.int32), causal)
 
 
 def mha_flash(

@@ -41,8 +41,11 @@ class EncoderLayer(nn.Module):
         drop = lambda y: Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
 
         impl = getattr(cfg, "attention_impl", "auto")
-        use_flash = (cfg.use_flash_attention if impl == "auto"
-                     else impl == "flash")
+        # 'ring' + use_flash_attention composes: ring routing wins in
+        # attend() and use_flash selects its per-block body (flash kernel
+        # vs jnp einsum) — see MultiHeadAttention.attend.
+        use_flash = (impl == "flash" or
+                     (impl in ("auto", "ring") and cfg.use_flash_attention))
         attn = MultiHeadAttention(
             cfg.num_heads, cfg.d_model,
             dropout_rate=cfg.attention_dropout_rate, dtype=self.dtype,

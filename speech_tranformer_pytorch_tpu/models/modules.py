@@ -435,8 +435,13 @@ class MultiHeadAttention(nn.Module):
             from ..parallel.ring_attention import ring_self_attention
             batch_axis = (DATA_AXIS if DATA_AXIS in self.ring_mesh.axis_names
                           else None)
+            # ring×flash composition: with use_flash also set, each ring
+            # step's block runs the Pallas flash kernel instead of the jnp
+            # einsum body (O(block) memory inside each shard).
             out = ring_self_attention(q, k, v, kv_lengths, self.ring_mesh,
-                                      axis=MODEL_AXIS, batch_axis=batch_axis)
+                                      axis=MODEL_AXIS, batch_axis=batch_axis,
+                                      body=("flash" if self.use_flash
+                                            else "dot"))
         elif self.use_flash:
             from ..kernels.interface import flash_attention
             out = flash_attention(

@@ -48,18 +48,20 @@ def _adam_kernel(sc_ref, g_ref, p_ref, mu_ref, nu_ref,
     """One block: g*clip_scale -> mu/nu update -> bias-corr -> param step.
 
     sc_ref (SMEM) holds [clip_scale, lr, 1/(1-b1^t), 1/(1-b2^t)].
+    mu/nu refs may be bfloat16 (train.moment_dtype): compute in f32,
+    round on store — halves the optimizer's HBM traffic.
     """
     g = g_ref[...] * sc_ref[0]
-    mu = b1 * mu_ref[...] + (1.0 - b1) * g
-    nu = b2 * nu_ref[...] + (1.0 - b2) * (g * g)
+    mu = b1 * mu_ref[...].astype(jnp.float32) + (1.0 - b1) * g
+    nu = b2 * nu_ref[...].astype(jnp.float32) + (1.0 - b2) * (g * g)
     mu_hat = mu * sc_ref[2]
     nu_hat = nu * sc_ref[3]
     upd = mu_hat / (jnp.sqrt(nu_hat) + eps)
     if weight_decay:
         upd = upd + weight_decay * p_ref[...]
     p_out[...] = p_ref[...] - sc_ref[1] * upd
-    mu_out[...] = mu
-    nu_out[...] = nu
+    mu_out[...] = mu.astype(mu_out.dtype)
+    nu_out[...] = nu.astype(nu_out.dtype)
 
 
 def _update_leaf(g, p, mu, nu, *, scalars, b1, b2, eps, weight_decay,
@@ -78,8 +80,9 @@ def _update_leaf(g, p, mu, nu, *, scalars, b1, b2, eps, weight_decay,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
-        out_shape=tuple(jax.ShapeDtypeStruct((n,), jnp.float32)
-                        for _ in range(3)),
+        out_shape=(jax.ShapeDtypeStruct((n,), jnp.float32),
+                   jax.ShapeDtypeStruct((n,), mu.dtype),
+                   jax.ShapeDtypeStruct((n,), nu.dtype)),
         input_output_aliases={2: 0, 3: 1, 4: 2},   # p, mu, nu in-place
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
@@ -99,7 +102,8 @@ class FusedAdam:
     """
 
     def __init__(self, schedule, *, b1=0.9, b2=0.98, eps=1e-9,
-                 grad_clip_norm=5.0, weight_decay=0.0, impl: str = "xla"):
+                 grad_clip_norm=5.0, weight_decay=0.0, impl: str = "xla",
+                 moment_dtype: str = "float32"):
         self.schedule = schedule
         self.b1, self.b2, self.eps = float(b1), float(b2), float(eps)
         self.grad_clip_norm = float(grad_clip_norm or 0.0)
@@ -107,10 +111,13 @@ class FusedAdam:
         if impl not in ("xla", "pallas"):
             raise ValueError(f"impl must be 'xla' or 'pallas', got {impl!r}")
         self.impl = impl
+        # bf16 moments (train.moment_dtype): mu/nu stored half-width,
+        # computed in f32 per step — halves the optimizer's HBM floor.
+        self.moment_dtype = jnp.dtype(moment_dtype)
 
     def init(self, params) -> FusedAdamState:
         zeros = lambda: jax.tree.map(
-            lambda p: jnp.zeros_like(p, jnp.float32), params)
+            lambda p: jnp.zeros_like(p, self.moment_dtype), params)
         return FusedAdamState(count=jnp.zeros((), jnp.int32),
                               mu=zeros(), nu=zeros())
 
@@ -143,12 +150,14 @@ class FusedAdam:
         else:
             def upd(g, p, mu, nu):
                 g = g * scale
-                mu2 = self.b1 * mu + (1.0 - self.b1) * g
-                nu2 = self.b2 * nu + (1.0 - self.b2) * (g * g)
+                mu2 = self.b1 * mu.astype(jnp.float32) + (1.0 - self.b1) * g
+                nu2 = self.b2 * nu.astype(jnp.float32) \
+                    + (1.0 - self.b2) * (g * g)
                 u = (mu2 * c1) / (jnp.sqrt(nu2 * c2) + self.eps)
                 if self.weight_decay:
                     u = u + self.weight_decay * p
-                return p - lr * u, mu2, nu2
+                return (p - lr * u, mu2.astype(self.moment_dtype),
+                        nu2.astype(self.moment_dtype))
         flat_g, treedef = jax.tree.flatten(grads)
         flat_p = treedef.flatten_up_to(params)
         flat_mu = treedef.flatten_up_to(state.mu)

@@ -66,6 +66,50 @@ def _ring_attention_local(q, k, v, kv_len_local, *, axis: str, scale: float):
     return (o / l_safe[..., None]).astype(q.dtype)
 
 
+def _ring_attention_local_flash(q, k, v, kv_len_local, *, axis: str):
+    """Per-device body with the Pallas flash kernel as the per-block core
+    (SURVEY.md §5 "blockwise Pallas attention ... ring variant"): each ring
+    step runs ``flash_block_stats`` on the resident K/V block — O(block)
+    memory, MXU-tiled, padding-tile skipping — and merges its (o, lse) into
+    the running result with the standard logsumexp combine. Differentiable:
+    the block op carries a full custom VJP (lse cotangent folds into the
+    flash backward's di), and scan/ppermute transpose automatically.
+
+    Numerics: equals the jnp dot body up to f32 summation order (the same
+    ~2e-4 rtol as ring-vs-full attention)."""
+    from ..kernels.flash_attention import flash_block_stats
+
+    n = jax.lax.psum(1, axis)
+    b, t, h, d = q.shape
+    qt = jnp.transpose(q, (0, 2, 1, 3))               # [B,H,Tq,D] once
+    o = jnp.zeros((b, h, t, d), jnp.float32)
+    # Finite very-negative init (not -inf): fully-masked rows keep lse
+    # near MASK_VALUE on every block, and logaddexp of two finite numbers
+    # never produces the (-inf) - (-inf) NaN.
+    lse = jnp.full((b, h, t, 1), -0.7 * jnp.finfo(jnp.float32).max,
+                   jnp.float32)
+
+    def step(carry, _):
+        o, lse, k_blk, v_blk, len_blk = carry
+        kt = jnp.transpose(k_blk, (0, 2, 1, 3))
+        vt = jnp.transpose(v_blk, (0, 2, 1, 3))
+        o_b, lse_b = flash_block_stats(qt, kt, vt, len_blk)
+        lse_b = lse_b[:, :, :t, :]
+        lse_new = jnp.logaddexp(lse, lse_b)
+        o_new = (jnp.exp(lse - lse_new) * o
+                 + jnp.exp(lse_b - lse_new) * o_b.astype(jnp.float32))
+        perm = [(j, (j + 1) % n) for j in range(n)]
+        k_next = jax.lax.ppermute(k_blk, axis, perm)
+        v_next = jax.lax.ppermute(v_blk, axis, perm)
+        len_next = jax.lax.ppermute(len_blk, axis, perm)
+        return (o_new, lse_new, k_next, v_next, len_next), None
+
+    (o, lse, _, _, _), _ = jax.lax.scan(
+        step, (o, lse, k, v, kv_len_local), None, length=n)
+    # Fully-masked rows: every block returned o=0, so o is already 0 there.
+    return jnp.transpose(o, (0, 2, 1, 3)).astype(q.dtype)
+
+
 def ring_attention(
     q: jnp.ndarray,             # [B, T, H, D]
     k: jnp.ndarray,             # [B, S, H, D]
@@ -75,6 +119,7 @@ def ring_attention(
     *,
     axis: str = MODEL_AXIS,
     batch_axis: Optional[str] = None,
+    body: str = "dot",
 ) -> jnp.ndarray:
     """Frame-axis-sharded attention; equals full softmax(QK^T)V with
     key-padding masking. S must be divisible by the ring size.
@@ -82,6 +127,10 @@ def ring_attention(
     ``batch_axis`` additionally shards the batch dim over that mesh axis
     (the in-model DP×ring layout: batch over 'data', frames over 'model');
     ``None`` replicates the batch over every non-ring axis.
+
+    ``body`` selects the per-block core: 'dot' (jnp einsum, materializes
+    per-block f32 scores) or 'flash' (the Pallas kernel per block — O(T)
+    memory inside each shard, composes ring with flash).
     """
     n = mesh.shape[axis]
     b, t, h, d = q.shape
@@ -96,9 +145,15 @@ def ring_attention(
     len_per_shard = jnp.clip(kv_lengths[:, None] - shard_starts[None, :],
                              0, block)          # [B, n]
 
-    body = functools.partial(_ring_attention_local, axis=axis, scale=scale)
+    if body == "flash":
+        body_fn = functools.partial(_ring_attention_local_flash, axis=axis)
+    elif body == "dot":
+        body_fn = functools.partial(_ring_attention_local, axis=axis,
+                                    scale=scale)
+    else:
+        raise ValueError(f"ring body must be 'dot' or 'flash', got {body!r}")
     fn = shard_map(
-        lambda q_, k_, v_, lens_: body(q_, k_, v_, lens_[:, 0]),
+        lambda q_, k_, v_, lens_: body_fn(q_, k_, v_, lens_[:, 0]),
         mesh=mesh,
         in_specs=(P(batch_axis, axis), P(batch_axis, axis),
                   P(batch_axis, axis), P(batch_axis, axis)),
@@ -117,6 +172,7 @@ def ring_self_attention(
     *,
     axis: str = MODEL_AXIS,
     batch_axis: Optional[str] = None,
+    body: str = "dot",
 ) -> jnp.ndarray:
     """Encoder self-attention entry point: pads the frame axis up to a
     multiple of the ring size (subsampled speech lengths are rarely
@@ -130,5 +186,5 @@ def ring_self_attention(
         pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
     out = ring_attention(q, k, v, lengths, mesh, axis=axis,
-                         batch_axis=batch_axis)
+                         batch_axis=batch_axis, body=body)
     return out[:, :t] if t_pad != t else out

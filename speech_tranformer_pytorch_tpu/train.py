@@ -218,7 +218,8 @@ def make_tx(cfg: ExperimentConfig) -> optax.GradientTransformation:
     return make_optimizer(
         cfg.model.d_model, t.warmup_steps, scale=t.peak_lr_scale,
         b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps,
-        grad_clip_norm=t.grad_clip_norm, weight_decay=t.weight_decay)
+        grad_clip_norm=t.grad_clip_norm, weight_decay=t.weight_decay,
+        moment_dtype=t.moment_dtype)
 
 
 def uses_fused_optimizer(cfg: ExperimentConfig) -> bool:
@@ -231,7 +232,8 @@ def make_fused_opt(cfg: ExperimentConfig) -> FusedAdam:
                              t.peak_lr_scale)
     return FusedAdam(schedule, b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps,
                      grad_clip_norm=t.grad_clip_norm,
-                     weight_decay=t.weight_decay)
+                     weight_decay=t.weight_decay,
+                     moment_dtype=t.moment_dtype)
 
 
 def create_train_state(cfg: ExperimentConfig, rng: jax.Array, example: Batch,

@@ -294,6 +294,102 @@ class TestFusedAdam:
                 np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                            rtol=1e-6, atol=1e-7)
 
+    def test_typed_adam_f32_matches_optax_exactly(self):
+        """scale_by_adam_typed(float32) is a bit-for-bit replacement for
+        the optax adam chain (the typed transform only changes STORAGE;
+        with f32 storage nothing changes)."""
+        import jax
+        import optax
+        from speech_tranformer_pytorch_tpu.ops.schedules import make_optimizer
+
+        params, grads = self._trees(2)
+        tx_ref = make_optimizer(64, 100, grad_clip_norm=5.0)
+        tx_typed = make_optimizer(64, 100, grad_clip_norm=5.0,
+                                  moment_dtype="float32")
+        # f32 moment_dtype routes through the plain optax chain
+        sr, st = tx_ref.init(params), tx_typed.init(params)
+        pr = pt = params
+        for step in range(3):
+            ur, sr = tx_ref.update(grads, sr, pr)
+            pr = optax.apply_updates(pr, ur)
+            ut, st = tx_typed.update(grads, st, pt)
+            pt = optax.apply_updates(pt, ut)
+        for a, b in zip(jax.tree.leaves(pr), jax.tree.leaves(pt)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_typed_adam_transform_matches_scale_by_adam(self):
+        """The typed transform itself (not via make_optimizer) at f32 must
+        equal optax.scale_by_adam step for step."""
+        import jax
+        import optax
+        from speech_tranformer_pytorch_tpu.ops.schedules import \
+            scale_by_adam_typed
+
+        params, grads = self._trees(3)
+        a = optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-9)
+        b = scale_by_adam_typed(b1=0.9, b2=0.98, eps=1e-9,
+                                moment_dtype="float32")
+        sa, sb = a.init(params), b.init(params)
+        for _ in range(3):
+            ua, sa = a.update(grads, sa)
+            ub, sb = b.update(grads, sb)
+            for x, y in zip(jax.tree.leaves(ua), jax.tree.leaves(ub)):
+                np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                           rtol=1e-6, atol=1e-7)
+
+    @pytest.mark.parametrize("path", ["optax", "fused_xla", "fused_pallas"])
+    def test_bf16_moments_track_f32(self, path):
+        """bf16 moment storage (train.moment_dtype): state is half-width
+        and the trajectory stays within bf16 rounding of the f32 run over
+        several steps (tolerance, not exactness — the moments are rounded
+        on every store)."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from speech_tranformer_pytorch_tpu.ops.fused_adam import FusedAdam
+        from speech_tranformer_pytorch_tpu.ops.schedules import (
+            make_optimizer, noam_schedule)
+
+        params, grads = self._trees(4)
+
+        def run(moment_dtype):
+            if path == "optax":
+                tx = make_optimizer(64, 100, grad_clip_norm=5.0,
+                                    moment_dtype=moment_dtype)
+                s = tx.init(params)
+                p = params
+                for step in range(8):
+                    g = jax.tree.map(lambda x: x * (0.7 ** step), grads)
+                    u, s = tx.update(g, s, p)
+                    p = optax.apply_updates(p, u)
+                return p, s
+            fused = FusedAdam(noam_schedule(64, 100), grad_clip_norm=5.0,
+                              impl=("pallas" if path == "fused_pallas"
+                                    else "xla"),
+                              moment_dtype=moment_dtype)
+            s = fused.init(params)
+            p = params
+            step_fn = jax.jit(fused.update_apply)
+            for step in range(8):
+                g = jax.tree.map(lambda x: x * (0.7 ** step), grads)
+                p, s = step_fn(g, s, p)
+            return p, s
+
+        p16, s16 = run("bfloat16")
+        p32, _ = run("float32")
+        moments = (s16.mu if hasattr(s16, "mu")
+                   else None)
+        if moments is None:    # optax chain: find the ScaleByAdamState
+            moments = [l for l in jax.tree.leaves(s16)
+                       if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+            assert moments, "no bf16 state leaves found in the optax chain"
+        else:
+            for leaf in jax.tree.leaves(moments):
+                assert leaf.dtype == jnp.bfloat16
+        for a, b in zip(jax.tree.leaves(p32), jax.tree.leaves(p16)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-2, atol=5e-4)
+
     def test_shared_grad_norm_argument(self):
         import jax
         import optax

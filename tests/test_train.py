@@ -65,6 +65,28 @@ def test_overfit_and_exact_greedy_decode(overfit_setup):
     assert hyps == ds.transcripts, list(zip(ds.transcripts, hyps))
 
 
+def test_overfit_with_bf16_moments(overfit_setup):
+    """Convergence anchor for train.moment_dtype='bfloat16' (VERDICT r3
+    item #8): the half-width optimizer state must not break optimization —
+    same overfit criterion as the f32 anchor, and the checkpointable state
+    really is bf16."""
+    cfg, ds, batch = overfit_setup
+    cfg = cfg.replace(train=cfg.train.replace(moment_dtype="bfloat16"))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    bf16_leaves = [l for l in jax.tree.leaves(state.opt_state)
+                   if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert bf16_leaves, "optimizer state has no bf16 moments"
+    step = make_train_step(cfg)
+    rng = jax.random.PRNGKey(42)
+    first_loss = None
+    for i in range(300):
+        state, metrics = step(state, batch, rng)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    final_loss = float(metrics["loss"])
+    assert final_loss < first_loss * 0.35, (first_loss, final_loss)
+
+
 def test_eval_step_deterministic(overfit_setup):
     cfg, ds, batch = overfit_setup
     state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
