@@ -210,6 +210,14 @@ class DataConfig(_Replace):
     max_target_len: int = 128
     bucket_boundaries: Tuple[int, ...] = (200, 400, 600, 800, 1000, 1400, 2000, 3000)
     num_workers: int = 2
+    audio_dtype: str = "int16"         # dtype batches carry raw PCM in:
+                                       # "int16" ships the WAV's native
+                                       # samples to the device (half the
+                                       # host-memory + H2D traffic; the
+                                       # on-device fbank dequantizes by
+                                       # 1/32768, bit-identical features
+                                       # for WAV sources); "float32" is the
+                                       # converted-on-host compat path
 
 
 @dataclasses.dataclass(frozen=True)
@@ -277,6 +285,9 @@ class ExperimentConfig:
         if t.moment_dtype not in ("float32", "bfloat16"):
             errs.append(f"train.moment_dtype {t.moment_dtype!r} not in "
                         f"('float32', 'bfloat16')")
+        if d.audio_dtype not in ("int16", "float32"):
+            errs.append(f"data.audio_dtype {d.audio_dtype!r} not in "
+                        f"('int16', 'float32')")
         if d.bucket_boundaries and max(d.bucket_boundaries) < d.max_source_frames:
             errs.append(f"largest bucket boundary "
                         f"{max(d.bucket_boundaries)} < data.max_source_frames "

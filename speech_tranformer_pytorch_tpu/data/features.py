@@ -197,7 +197,14 @@ def extract_features(
     *,
     dither_key: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full frontend: fbank (+ optional CMVN). Returns (feats[B,T,F], frame_lens[B])."""
+    """Full frontend: fbank (+ optional CMVN). Returns (feats[B,T,F], frame_lens[B]).
+
+    Accepts int16 PCM directly (data.audio_dtype='int16' ships the WAV's
+    native samples — half the H2D bytes): dequantized here on-device with
+    the same 1/32768 scale the float32 host path divides by (an exact
+    power of two, so features are bit-identical for WAV sources)."""
+    if waveforms.dtype == jnp.int16:
+        waveforms = waveforms.astype(jnp.float32) * (1.0 / 32768.0)
     feats = log_mel_spectrogram(waveforms, cfg, dither_key=dither_key)
     frame_lens = frame_lengths_from_sample_lengths(
         sample_lengths, cfg.frame_length, cfg.frame_shift

@@ -40,7 +40,9 @@ class ManifestSource(gp.RandomAccessDataSource):
 
     def __getitem__(self, idx: int):
         e = self._ds.entries[idx]
-        samples, _ = read_audio(e["audio"])
+        samples, _ = read_audio(e["audio"],
+                                dtype=getattr(self._ds, "audio_dtype",
+                                              "float32"))
         return {"audio": samples, "tokens": np.asarray(e["tokens"], np.int32),
                 "idx": np.int64(idx)}
 
@@ -116,7 +118,9 @@ class GrainBucketedPipeline:
         max_samples = L + (self.boundaries[bucket] - 1) * hop
         bsz = (self.bucket_batch_sizes[bucket] if pad_to_batch
                else len(items))
-        audio = np.zeros((bsz, max_samples), np.float32)
+        adt = (np.int16 if getattr(self.ds, "audio_dtype", "float32")
+               == "int16" else np.float32)
+        audio = np.zeros((bsz, max_samples), adt)
         slens = np.zeros((bsz,), np.int32)
         tin = np.full((bsz, self.target_len), PAD, np.int32)
         tout = np.full((bsz, self.target_len), PAD, np.int32)

@@ -66,6 +66,10 @@ class ManifestDataset:
                  feature_cfg: FeatureConfig):
         self.entries = read_manifest(manifest_path)
         self.fcfg = feature_cfg
+        # Batches carry PCM in this dtype; int16 (default) ships the WAV's
+        # native samples and the on-device fbank dequantizes (see
+        # read_audio / extract_features).
+        self.audio_dtype = getattr(data_cfg, "audio_dtype", "float32")
         kept = []
         for e in self.entries:
             frames = _frames_for_samples(e["num_samples"], feature_cfg)
@@ -213,7 +217,8 @@ class BucketedBatcher:
         fcfg = self.ds.fcfg
         max_samples = _samples_for_frames(self.boundaries[bucket], fcfg)
         bsz = self.bucket_batch_sizes[bucket] if pad_to_batch else len(idxs)
-        audio = np.zeros((bsz, max_samples), np.float32)
+        adt = np.int16 if self.ds.audio_dtype == "int16" else np.float32
+        audio = np.zeros((bsz, max_samples), adt)
         slens = np.zeros((bsz,), np.int32)
         tin = np.full((bsz, self.target_len), PAD, np.int32)
         tout = np.full((bsz, self.target_len), PAD, np.int32)
@@ -221,7 +226,7 @@ class BucketedBatcher:
         valid = np.zeros((bsz,), bool)
         for row, idx in enumerate(idxs):
             e = self.ds.entries[idx]
-            samples, _ = read_audio(e["audio"])
+            samples, _ = read_audio(e["audio"], dtype=self.ds.audio_dtype)
             n = min(len(samples), max_samples)
             audio[row, :n] = samples[:n]
             slens[row] = n

@@ -27,18 +27,30 @@ from .tokenizer import CharTokenizer, normalize_text
 # Audio I/O (stdlib only)
 # ---------------------------------------------------------------------------
 
-def read_audio(path: str) -> Tuple[np.ndarray, int]:
+def read_audio(path: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
     """Read .wav (16-bit PCM, via stdlib) or .npy (float32 + rate sidecar
     convention: stored as dict or plain array at 16 kHz). Returns
-    (float32 samples in [-1, 1], sample_rate)."""
+    (samples, sample_rate).
+
+    ``dtype='int16'`` returns the RAW PCM samples without the float
+    conversion — half the host memory traffic and half the host→device
+    bytes per batch (data.audio_dtype). The on-device fbank dequantizes
+    with the same 1/32768 scale, so WAV-source features are bit-identical
+    to the float32 path (the division is by an exact power of two).
+    .npy float sources get quantized through int16 (write_wav convention)
+    in that mode — ~1e-5 amplitude noise, far below the log-mel floor."""
     if path.endswith(".npy"):
         arr = np.load(path, allow_pickle=False)
+        if dtype == "int16":
+            return (np.clip(arr, -1.0, 1.0) * 32767.0).astype(np.int16), 16000
         return arr.astype(np.float32), 16000
     with wave.open(path, "rb") as w:
         assert w.getsampwidth() == 2, f"{path}: only 16-bit PCM supported"
         assert w.getnchannels() == 1, f"{path}: only mono supported"
         rate = w.getframerate()
         data = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    if dtype == "int16":
+        return data, rate
     return (data.astype(np.float32) / 32768.0), rate
 
 

@@ -474,3 +474,54 @@ class TestMultiHostBatchParity:
                 drop_remainder=True)
             counts.append(sum(1 for _ in batcher.epoch(0)))
         assert counts[0] == counts[1]
+
+
+class TestInt16AudioTransport:
+    """data.audio_dtype='int16' (default): batches carry the WAV's native
+    PCM; the on-device fbank dequantizes by 1/32768 — an exact power of
+    two, so features from WAV sources are BIT-identical to the float32
+    host-conversion path while halving host-memory and H2D bytes."""
+
+    def test_features_bit_identical_to_float32_path(self, tmp_path):
+        import jax
+        from speech_tranformer_pytorch_tpu.config import get_config
+        from speech_tranformer_pytorch_tpu.data.pipeline import (
+            BucketedBatcher, ManifestDataset, make_preprocess_fn)
+        from speech_tranformer_pytorch_tpu.data.prepare import prepare_synthetic
+
+        paths = prepare_synthetic(str(tmp_path), num_train=4, num_dev=0,
+                                  num_test=0, vocab_size=16, seed=3)
+        cfg = get_config("tiny")
+        pre = jax.jit(make_preprocess_fn(cfg.features, None))
+
+        def batch_for(audio_dtype):
+            ds = ManifestDataset(
+                paths["train"],
+                cfg.data.replace(audio_dtype=audio_dtype), cfg.features)
+            b = BucketedBatcher(ds, batch_size=4,
+                                bucket_boundaries=cfg.data.bucket_boundaries,
+                                target_len=16, shuffle=False,
+                                drop_remainder=False)
+            return next(iter(b.epoch(0)))
+
+        b16 = batch_for("int16")
+        b32 = batch_for("float32")
+        assert b16.audio.dtype == jnp.int16
+        assert b16.audio.nbytes * 2 == b32.audio.nbytes
+        f16 = pre(b16)
+        f32 = pre(b32)
+        np.testing.assert_array_equal(np.asarray(f16.feats),
+                                      np.asarray(f32.feats))
+        np.testing.assert_array_equal(np.asarray(f16.frame_lens),
+                                      np.asarray(f32.frame_lens))
+
+    def test_read_audio_int16_roundtrip(self, tmp_path):
+        from speech_tranformer_pytorch_tpu.data.prepare import (read_audio,
+                                                                write_wav)
+        rng = np.random.default_rng(0)
+        wav = str(tmp_path / "x.wav")
+        write_wav(wav, rng.standard_normal(1600).astype(np.float32) * 0.3)
+        raw, rate = read_audio(wav, dtype="int16")
+        flt, _ = read_audio(wav)
+        assert raw.dtype == np.int16 and rate == 16000
+        np.testing.assert_array_equal(raw.astype(np.float32) / 32768.0, flt)
