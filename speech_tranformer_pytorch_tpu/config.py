@@ -174,13 +174,20 @@ class TrainConfig(_Replace):
                                        # already fuses the optax chain to the
                                        # Adam bandwidth floor. Kept as a
                                        # tested option; BENCHMARKS.md
-    moment_dtype: str = "float32"      # adam mu/nu storage dtype: "bfloat16"
-                                       # halves optimizer-state HBM (~the
-                                       # measured 1.9 ms/step bandwidth floor
-                                       # is mu/nu traffic); moments are
-                                       # computed in f32 every step and
-                                       # rounded on store. Applies to both
-                                       # the optax chain and FusedAdam.
+    moment_dtype: str = "bfloat16"     # adam mu/nu storage dtype. bf16
+                                       # (default) halves optimizer-state
+                                       # HBM — measured +4.5% step
+                                       # throughput at base (16.77 ->
+                                       # 16.05 ms, BENCHMARKS.md r4);
+                                       # moments are computed in f32 every
+                                       # step and rounded on store
+                                       # (overfit-anchor + trajectory-
+                                       # tolerance tested). "float32" =
+                                       # strict reference-Adam state
+                                       # (the optax-equivalence tests pin
+                                       # that path bit-for-bit). Applies
+                                       # to both the optax chain and
+                                       # FusedAdam.
     dropout_rng_impl: str = "rbg"      # PRNG for dropout masks: "rbg" uses the
                                        # TPU-native XLA RngBitGenerator (bulk
                                        # threefry bits measured 42% of the base

@@ -37,7 +37,27 @@ def main(argv=None):
         import jax
         jax.distributed.initialize()
 
-    cfg = resolve_config(args)
+    saved = os.path.join(args.work_dir, "config.json")
+    if args.resume and os.path.exists(saved):
+        # Resume uses the run's OWN saved config as the base (the same
+        # contract recognize_cli follows), so library-default changes
+        # between versions (e.g. train.moment_dtype, data.audio_dtype)
+        # can never silently alter a resumed run; --preset/--set still
+        # override on top.
+        import json as _json
+
+        from .cli_common import _parse_value
+        from .config import apply_overrides, config_from_dict
+        cfg = config_from_dict(_json.load(open(saved)))
+        overrides = {}
+        for kv in args.overrides:
+            k, v = kv.split("=", 1)
+            overrides[k] = _parse_value(v)
+        if overrides:
+            cfg = apply_overrides(cfg, overrides)
+        cfg = cfg.validate()
+    else:
+        cfg = resolve_config(args)
     os.makedirs(args.work_dir, exist_ok=True)
     with open(os.path.join(args.work_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())

@@ -23,11 +23,12 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-TRAIN_AUDIO_SPS_FLOOR = 17000.0   # measured 19.4-19.5k across two stable
-                                  # rounds (BENCHMARKS.md); 13% jitter
-                                  # margin — the old 15k floor left a 23%
-                                  # blind spot where a real single-digit
-                                  # regression could hide under tunnel noise
+TRAIN_AUDIO_SPS_FLOOR = 17500.0   # measured 19.9k with the bf16-moment
+                                  # default (r4), 19.4-19.5k the two
+                                  # rounds before; 12% jitter margin —
+                                  # the old 15k floor left a 23% blind
+                                  # spot where a real single-digit
+                                  # regression could hide in tunnel noise
 BEAM5_RTF_CEILING = 0.00018       # measured 0.000148 at B=16, max_len=50
                                   # (2026-08-20, candidate-topk kernel +
                                   # head-major cross cache); 1.22x headroom.

@@ -257,3 +257,35 @@ def test_dropout_rng_impls(overfit_setup):
         state, m = step(state, batch, jax.random.PRNGKey(1))
         s2, m2 = step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(m2["loss"])), impl
+
+
+def test_train_cli_resume_uses_saved_config(tmp_path):
+    """--resume takes the run's saved config.json as base (recognize_cli
+    contract): a library-default change between versions must not silently
+    alter a resumed run's optimizer/data semantics."""
+    from speech_tranformer_pytorch_tpu import train_cli
+    from speech_tranformer_pytorch_tpu.config import config_from_dict
+    from speech_tranformer_pytorch_tpu.data.prepare import prepare_synthetic
+    import json
+
+    prepare_synthetic(str(tmp_path / "c"), num_train=4, num_dev=0,
+                      num_test=0, vocab_size=16, seed=0)
+    wd = str(tmp_path / "w")
+    common = ["--preset", "tiny", "--data-dir", str(tmp_path / "c"),
+              "--work-dir", wd,
+              "--set", "model.d_model=32", "--set", "model.num_heads=2",
+              "--set", "model.d_ff=64", "--set", "model.num_encoder_layers=1",
+              "--set", "model.num_decoder_layers=1",
+              "--set", "model.subsample_channels=4",
+              "--set", "train.batch_size=4",
+              "--set", "train.checkpoint_every_steps=2"]
+    # First run pins a NON-default moment dtype.
+    train_cli.main(common + ["--set", "train.moment_dtype=float32",
+                             "--max-steps", "2"])
+    cfg0 = config_from_dict(json.load(open(f"{wd}/config.json")))
+    assert cfg0.train.moment_dtype == "float32"
+    # Resume WITHOUT the flag: the saved config must win over the library
+    # default (bfloat16).
+    train_cli.main(common + ["--resume", "--max-steps", "4"])
+    cfg1 = config_from_dict(json.load(open(f"{wd}/config.json")))
+    assert cfg1.train.moment_dtype == "float32"
