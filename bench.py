@@ -31,7 +31,12 @@ REFERENCE_AUDIO_SPS = 120.0  # recalled estimate, single consumer GPU
 # Persistent XLA compilation cache: the driver-run bench previously timed
 # out because >95% of the ~11-min wall was XLA compile over the axon
 # tunnel (BENCH_r02.json rc=124 while the timed steps cost <1 s). The
-# cache dir is repo-local and committed, so a warm round compiles nothing.
+# cache dir is repo-local but GITIGNORED (round 4, per ADVICE r3 #4: the
+# blobs are opaque, large, and accrete per server version — they ballooned
+# git history to 1.4 GB before being purged). The driver reuses this
+# working tree across rounds (PROGRESS.jsonl is continuous), so the
+# on-disk cache keeps rounds warm without living in version control; a
+# fresh clone simply pays one compile to repopulate it.
 _CACHE_DIR = pathlib.Path(__file__).resolve().parent / ".xla_cache"
 
 

@@ -87,6 +87,70 @@ def read_manifest(path: str) -> List[Dict]:
     return out
 
 
+# OpenSLR resource 33 — the AISHELL-1 release the reference's recipe
+# downloads (egs/aishell/run.sh stage 0, SURVEY.md §3.4).
+AISHELL_URL = "https://www.openslr.org/resources/33/data_aishell.tgz"
+
+
+def _safe_extract_tar(archive: str, dest: str) -> None:
+    """Extract a tarball, refusing path-traversal members."""
+    import tarfile
+    with tarfile.open(archive, "r:*") as tf:
+        try:
+            tf.extractall(dest, filter="data")   # py>=3.12 traversal guard
+        except TypeError:                        # older tarfile: check by hand
+            base = os.path.realpath(dest)
+            for m in tf.getmembers():
+                target = os.path.realpath(os.path.join(dest, m.name))
+                if not target.startswith(base + os.sep) and target != base:
+                    raise ValueError(f"unsafe tar member {m.name!r}")
+            tf.extractall(dest)
+
+
+def download_aishell(
+    dest_dir: str,
+    *,
+    url: str = AISHELL_URL,
+    extract: bool = True,
+    keep_inner_archives: bool = False,
+) -> str:
+    """Download + untar AISHELL-1 (reference ``run.sh`` stage 0
+    "download_and_untar" — SURVEY.md §3.4): fetch ``data_aishell.tgz``,
+    extract it, then extract every per-speaker ``wav/*.tar.gz`` inner
+    archive (the OpenSLR release nests them). Skips the download when the
+    tarball (or the extracted tree) is already present, so interrupted
+    runs re-enter cleanly. Returns the extracted corpus root
+    (``<dest_dir>/data_aishell``) — pass it to :func:`prepare_aishell`.
+
+    NOTE: this sandbox has no network egress, so the download path is
+    exercised in tests via a ``file://`` URL over a miniature tarball
+    with the real release's nested layout; against the real corpus only
+    the URL differs.
+    """
+    import glob
+    import urllib.request
+
+    os.makedirs(dest_dir, exist_ok=True)
+    corpus_root = os.path.join(dest_dir, "data_aishell")
+    tarball = os.path.join(dest_dir, os.path.basename(url) or "corpus.tgz")
+    if not os.path.isdir(corpus_root):
+        if not os.path.exists(tarball):
+            tmp = tarball + ".part"
+            urllib.request.urlretrieve(url, tmp)
+            os.replace(tmp, tarball)
+        if extract:
+            _safe_extract_tar(tarball, dest_dir)
+    if extract:
+        # Per-speaker inner archives: wav/{train,dev,test} trees live
+        # inside S*.tar.gz files relative to the wav/ dir.
+        for inner in sorted(glob.glob(
+                os.path.join(corpus_root, "wav", "*.tar.gz"))):
+            _safe_extract_tar(inner, os.path.join(corpus_root, "wav"))
+            if not keep_inner_archives:
+                os.remove(inner)
+    return corpus_root
+
+
 def prepare_aishell(
     corpus_dir: str,
     out_dir: str,

@@ -17,9 +17,17 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     a = sub.add_parser("aishell", help="AISHELL-1 manifests + char vocab")
-    a.add_argument("--corpus", required=True)
+    a.add_argument("--corpus", required=True,
+                   help="extracted corpus root (data_aishell/), or the "
+                        "download destination with --download")
     a.add_argument("--out", required=True)
     a.add_argument("--min-count", type=int, default=1)
+    a.add_argument("--download", action="store_true",
+                   help="run.sh stage 0: fetch + untar the OpenSLR "
+                        "release into --corpus first (nested per-speaker "
+                        "wav tarballs included)")
+    a.add_argument("--url", default=None,
+                   help="override the OpenSLR URL (e.g. a local mirror)")
 
     s = sub.add_parser("synthetic", help="synthetic tone corpus fixture")
     s.add_argument("--out", required=True)
@@ -36,8 +44,13 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
     if args.cmd == "aishell":
-        from .data.prepare import prepare_aishell
-        paths = prepare_aishell(args.corpus, args.out,
+        from .data.prepare import (AISHELL_URL, download_aishell,
+                                   prepare_aishell)
+        corpus = args.corpus
+        if args.download:
+            corpus = download_aishell(args.corpus,
+                                      url=args.url or AISHELL_URL)
+        paths = prepare_aishell(corpus, args.out,
                                 min_count=args.min_count)
     elif args.cmd == "synthetic":
         from .data.prepare import prepare_synthetic

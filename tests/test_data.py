@@ -525,3 +525,98 @@ class TestInt16AudioTransport:
         flt, _ = read_audio(wav)
         assert raw.dtype == np.int16 and rate == 16000
         np.testing.assert_array_equal(raw.astype(np.float32) / 32768.0, flt)
+
+
+class TestAishellDownload:
+    """run.sh stage 0 parity (SURVEY.md §3.4 "download_and_untar"): the
+    downloader fetches a tarball (file:// URL here — no egress), extracts
+    it, then extracts the OpenSLR release's NESTED per-speaker wav
+    tarballs, and the result feeds prepare_aishell end-to-end."""
+
+    @pytest.fixture(scope="class")
+    def release_tarball(self, tmp_path_factory):
+        """Miniature data_aishell.tgz with the real release's nesting:
+        outer tgz -> data_aishell/{transcript/..., wav/S*.tar.gz} where
+        each inner tarball holds wav/<split>/<spk>/*.wav trees."""
+        import tarfile
+
+        import numpy as np_
+        from speech_tranformer_pytorch_tpu.data.prepare import write_wav
+
+        root = tmp_path_factory.mktemp("slr33")
+        stage = root / "stage" / "data_aishell"
+        rng = np_.random.default_rng(1)
+        utts = {"train": ["BAC009S0002W0122", "BAC009S0002W0123"],
+                "dev": ["BAC009S0724W0121"], "test": ["BAC009S0764W0121"]}
+        texts = {"BAC009S0002W0122": "绿 是 阳春",
+                 "BAC009S0002W0123": "烟 景 大",
+                 "BAC009S0724W0121": "块 文章",
+                 "BAC009S0764W0121": "的 底色"}
+        # Build per-speaker trees, then pack each speaker into an inner
+        # tar.gz under wav/ (members rooted at <split>/<spk>/...).
+        trans = []
+        by_spk = {}
+        for split, ids in utts.items():
+            for uid in ids:
+                spk = uid[6:11]
+                d = root / "spks" / spk / split / spk
+                d.mkdir(parents=True, exist_ok=True)
+                write_wav(str(d / f"{uid}.wav"),
+                          (rng.standard_normal(4000) * 0.1).astype(
+                              np_.float32))
+                trans.append(f"{uid} {texts[uid]}")
+                by_spk.setdefault(spk, root / "spks" / spk)
+        (stage / "wav").mkdir(parents=True)
+        for spk, spkroot in by_spk.items():
+            with tarfile.open(stage / "wav" / f"{spk}.tar.gz", "w:gz") as tf:
+                for split_dir in sorted(spkroot.iterdir()):
+                    tf.add(split_dir, arcname=split_dir.name)
+        td = stage / "transcript"
+        td.mkdir()
+        (td / "aishell_transcript_v0.8.txt").write_text(
+            "\n".join(trans), encoding="utf-8")
+        out = root / "data_aishell.tgz"
+        with tarfile.open(out, "w:gz") as tf:
+            tf.add(stage, arcname="data_aishell")
+        return str(out)
+
+    def test_download_extract_prepare_end_to_end(self, release_tarball,
+                                                 tmp_path):
+        from speech_tranformer_pytorch_tpu import prepare_cli
+        from speech_tranformer_pytorch_tpu.data.prepare import read_manifest
+
+        dest = tmp_path / "corpus"
+        out = tmp_path / "data"
+        prepare_cli.main(["aishell", "--download",
+                          "--url", f"file://{release_tarball}",
+                          "--corpus", str(dest), "--out", str(out)])
+        train = read_manifest(str(out / "train.jsonl"))
+        assert len(train) == 2
+        assert all((dest / "data_aishell").exists()
+                   for _ in [0])
+        # inner archives consumed and removed
+        import glob
+        assert not glob.glob(str(dest / "data_aishell" / "wav" / "*.tar.gz"))
+
+    def test_reentrant_skips_download(self, release_tarball, tmp_path):
+        """Interrupted-run contract: with the extracted tree present the
+        downloader touches nothing (no re-fetch, idempotent)."""
+        from speech_tranformer_pytorch_tpu.data.prepare import download_aishell
+        dest = tmp_path / "c2"
+        root = download_aishell(str(dest), url=f"file://{release_tarball}")
+        again = download_aishell(str(dest), url="file:///nonexistent.tgz")
+        assert again == root
+
+    def test_rejects_traversal_member(self, tmp_path):
+        import tarfile
+
+        from speech_tranformer_pytorch_tpu.data.prepare import \
+            _safe_extract_tar
+        evil = tmp_path / "evil.tgz"
+        payload = tmp_path / "p.txt"
+        payload.write_text("x")
+        with tarfile.open(evil, "w:gz") as tf:
+            tf.add(payload, arcname="../../escape.txt")
+        with pytest.raises(Exception):
+            _safe_extract_tar(str(evil), str(tmp_path / "out"))
+        assert not (tmp_path.parent / "escape.txt").exists()
