@@ -57,3 +57,53 @@ def test_export_greedy_roundtrip():
         model, p, f, l, max_len=8))(params, feats, fl)
     np.testing.assert_array_equal(np.asarray(tokens[:, 0]), np.asarray(rt))
     np.testing.assert_array_equal(np.asarray(lengths[:, 0]), np.asarray(rl))
+
+
+def test_export_cli_end_to_end(tmp_path):
+    """export_cli: checkpoint -> StableHLO artifact + flat-params npz; the
+    loaded artifact decodes with the npz params and matches the live
+    Recognizer's hypotheses on the same batch."""
+    import json
+
+    from speech_tranformer_pytorch_tpu import export_cli, prepare_cli, train_cli
+    from speech_tranformer_pytorch_tpu.serving import load_exported
+
+    data = tmp_path / "data"
+    work = tmp_path / "work"
+    prepare_cli.main(["synthetic", "--out", str(data), "--num-train", "4",
+                      "--num-dev", "0", "--num-test", "0",
+                      "--vocab-size", "16"])
+    train_cli.main(["--preset", "tiny", "--data-dir", str(data),
+                    "--work-dir", str(work),
+                    "--set", "model.d_model=32", "--set", "model.num_heads=2",
+                    "--set", "model.d_ff=64",
+                    "--set", "model.num_encoder_layers=1",
+                    "--set", "model.num_decoder_layers=1",
+                    "--set", "model.subsample_channels=4",
+                    "--set", "train.batch_size=4",
+                    "--set", "train.checkpoint_every_steps=2",
+                    "--max-steps", "2"])
+    out = tmp_path / "dec.stablehlo"
+    export_cli.main(["--work-dir", str(work), "--out", str(out),
+                     "--batch-size", "2", "--frames", "80", "--beam", "3",
+                     "--max-len", "6"])
+    assert out.exists() and out.stat().st_size > 0
+    npz = np.load(str(out) + ".params.npz")
+    params_flat = [npz[k] for k in sorted(npz.files)]
+
+    fn = load_exported(out.read_bytes())
+    feats = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(1), (2, 80, 80)), np.float32)
+    lens = np.array([80, 60], np.int32)
+    tokens, lengths, scores = fn(params_flat, feats, lens)
+    assert tokens.shape == (2, 3, 6) and lengths.shape == (2, 3)
+
+    # Must match the live decode from the same checkpoint.
+    from speech_tranformer_pytorch_tpu.config import config_from_dict
+    from speech_tranformer_pytorch_tpu.recognize import load_recognizer
+    cfg = config_from_dict(json.load(open(work / "config.json")))
+    rec = load_recognizer(cfg, str(work / "checkpoints"))
+    live = jax.jit(lambda p, f, l: beam_decode(
+        SpeechTransformer(cfg.model), p, f, l, beam_size=3, max_len=6,
+        alpha=cfg.decode.length_penalty))(rec.params, feats, lens)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(live.tokens))
