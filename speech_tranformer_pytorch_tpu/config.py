@@ -188,6 +188,19 @@ class TrainConfig(_Replace):
                                        # that path bit-for-bit). Applies
                                        # to both the optax chain and
                                        # FusedAdam.
+    master_weights: bool = False       # store TrainState.params in the
+                                       # COMPUTE dtype (model.dtype) and
+                                       # keep the f32 master copy inside
+                                       # the optimizer state: removes the
+                                       # per-step full-tree f32->bf16
+                                       # cast (XProf: 1.38 ms at base) and
+                                       # the bf16->f32 gradient boundary
+                                       # cast. Requires fused_optimizer
+                                       # (the optax apply_updates contract
+                                       # cannot return params directly)
+                                       # and a non-f32 model.dtype;
+                                       # single-device path only, like
+                                       # fused_optimizer itself.
     dropout_rng_impl: str = "rbg"      # PRNG for dropout masks: "rbg" uses the
                                        # TPU-native XLA RngBitGenerator (bulk
                                        # threefry bits measured 42% of the base
@@ -295,6 +308,16 @@ class ExperimentConfig:
         if d.audio_dtype not in ("int16", "float32"):
             errs.append(f"data.audio_dtype {d.audio_dtype!r} not in "
                         f"('int16', 'float32')")
+        if t.master_weights:
+            if not t.fused_optimizer:
+                errs.append("train.master_weights requires "
+                            "train.fused_optimizer=True (optax's "
+                            "apply_updates contract cannot emit "
+                            "compute-dtype params from an f32 master)")
+            if not t.mixed_precision or m.dtype == "float32":
+                errs.append("train.master_weights is pointless without "
+                            "mixed precision and a non-f32 model.dtype "
+                            "(params would just be a second f32 copy)")
         if d.bucket_boundaries and max(d.bucket_boundaries) < d.max_source_frames:
             errs.append(f"largest bucket boundary "
                         f"{max(d.bucket_boundaries)} < data.max_source_frames "

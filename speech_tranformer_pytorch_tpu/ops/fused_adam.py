@@ -38,8 +38,9 @@ _BLOCK = 131072          # f32 elements per grid step (512 KB x 7 refs ~ 3.5 MB 
 
 class FusedAdamState(NamedTuple):
     count: jnp.ndarray   # [] int32, completed steps
-    mu: Any              # param-tree of f32 first moments
-    nu: Any              # param-tree of f32 second moments
+    mu: Any              # param-tree of first moments (train.moment_dtype)
+    nu: Any              # param-tree of second moments
+    master: Any = None   # f32 master params (train.master_weights) or None
 
 
 def _adam_kernel(sc_ref, g_ref, p_ref, mu_ref, nu_ref,
@@ -91,6 +92,16 @@ def _update_leaf(g, p, mu, nu, *, scalars, b1, b2, eps, weight_decay,
     return p2.reshape(shape).astype(dtype), mu2.reshape(shape), nu2.reshape(shape)
 
 
+def global_norm_f32(tree) -> jnp.ndarray:
+    """optax.global_norm with f32 accumulation — exact-enough clip scales
+    even when gradients arrive in bf16 (the master_weights path keeps
+    cotangents in the compute dtype; squaring/summing them in bf16 would
+    make the clip threshold noisy)."""
+    return jnp.sqrt(sum(
+        jnp.sum(jnp.square(x.astype(jnp.float32)))
+        for x in jax.tree.leaves(tree)))
+
+
 class FusedAdam:
     """Drop-in (init / update_apply) fused optimizer.
 
@@ -103,29 +114,45 @@ class FusedAdam:
 
     def __init__(self, schedule, *, b1=0.9, b2=0.98, eps=1e-9,
                  grad_clip_norm=5.0, weight_decay=0.0, impl: str = "xla",
-                 moment_dtype: str = "float32"):
+                 moment_dtype: str = "float32",
+                 master_weights: bool = False):
         self.schedule = schedule
         self.b1, self.b2, self.eps = float(b1), float(b2), float(eps)
         self.grad_clip_norm = float(grad_clip_norm or 0.0)
         self.weight_decay = float(weight_decay or 0.0)
         if impl not in ("xla", "pallas"):
             raise ValueError(f"impl must be 'xla' or 'pallas', got {impl!r}")
+        if master_weights and impl == "pallas":
+            raise ValueError("master_weights supports impl='xla' (the "
+                             "pallas per-leaf kernel measured slower anyway"
+                             " — BENCHMARKS.md)")
         self.impl = impl
         # bf16 moments (train.moment_dtype): mu/nu stored half-width,
         # computed in f32 per step — halves the optimizer's HBM floor.
         self.moment_dtype = jnp.dtype(moment_dtype)
+        # master_weights (train.master_weights): TrainState.params live in
+        # the compute dtype; the f32 master lives HERE and the update math
+        # runs against it — no per-step full-tree cast.
+        self.master_weights = bool(master_weights)
 
     def init(self, params) -> FusedAdamState:
+        """``params``: the freshly initialized f32 tree. With
+        master_weights it becomes the f32 master (TrainState.params should
+        then be its compute-dtype cast — create_train_state does this)."""
         zeros = lambda: jax.tree.map(
             lambda p: jnp.zeros_like(p, self.moment_dtype), params)
+        master = None
+        if self.master_weights:
+            master = jax.tree.map(
+                lambda p: jnp.asarray(p, jnp.float32), params)
         return FusedAdamState(count=jnp.zeros((), jnp.int32),
-                              mu=zeros(), nu=zeros())
+                              mu=zeros(), nu=zeros(), master=master)
 
     def update_apply(self, grads, state: FusedAdamState, params,
                      grad_norm: jnp.ndarray | None = None
                      ) -> Tuple[Any, FusedAdamState]:
         if grad_norm is None:
-            grad_norm = optax.global_norm(grads)
+            grad_norm = global_norm_f32(grads)
         if self.grad_clip_norm > 0:
             # optax.clip_by_global_norm: scale = clip / max(norm, clip)
             clip = jnp.float32(self.grad_clip_norm)
@@ -162,6 +189,35 @@ class FusedAdam:
         flat_p = treedef.flatten_up_to(params)
         flat_mu = treedef.flatten_up_to(state.mu)
         flat_nu = treedef.flatten_up_to(state.nu)
+        if self.master_weights:
+            # Compute against the f32 master; emit compute-dtype params +
+            # the updated master. Grads may arrive in the compute dtype
+            # (no boundary cast) — upcast per element inside the fused
+            # expression.
+            flat_m = treedef.flatten_up_to(state.master)
+
+            def updm(g, p, m, mu, nu):
+                g32 = g.astype(jnp.float32) * scale
+                mu2 = self.b1 * mu.astype(jnp.float32) + (1.0 - self.b1) * g32
+                nu2 = self.b2 * nu.astype(jnp.float32) \
+                    + (1.0 - self.b2) * (g32 * g32)
+                u = (mu2 * c1) / (jnp.sqrt(nu2 * c2) + self.eps)
+                if self.weight_decay:
+                    u = u + self.weight_decay * m
+                m2 = m - lr * u
+                return (m2.astype(p.dtype), m2,
+                        mu2.astype(self.moment_dtype),
+                        nu2.astype(self.moment_dtype))
+
+            out = [updm(g, p, m, mu, nu) for g, p, m, mu, nu
+                   in zip(flat_g, flat_p, flat_m, flat_mu, flat_nu)]
+            return (jax.tree.unflatten(treedef, [o[0] for o in out]),
+                    FusedAdamState(
+                        count=count_inc,
+                        mu=jax.tree.unflatten(treedef, [o[2] for o in out]),
+                        nu=jax.tree.unflatten(treedef, [o[3] for o in out]),
+                        master=jax.tree.unflatten(treedef,
+                                                  [o[1] for o in out])))
         out = [upd(g, p, mu, nu)
                for g, p, mu, nu in zip(flat_g, flat_p, flat_mu, flat_nu)]
         new_params = jax.tree.unflatten(treedef, [o[0] for o in out])

@@ -165,7 +165,11 @@ def make_train_step(
 
         (loss, (tokens, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        grad_norm = optax.global_norm(grads)
+        # f32 accumulation: with master_weights the params (and thus the
+        # cotangents) are bf16 — a bf16-accumulated norm would make the
+        # clip threshold noisy.
+        from .ops.fused_adam import global_norm_f32
+        grad_norm = global_norm_f32(grads)
         if fused:
             # Single-pass Pallas Adam; shares the grad-norm reduction with
             # the metric (ops/fused_adam.py).
@@ -233,15 +237,31 @@ def make_fused_opt(cfg: ExperimentConfig) -> FusedAdam:
     return FusedAdam(schedule, b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps,
                      grad_clip_norm=t.grad_clip_norm,
                      weight_decay=t.weight_decay,
-                     moment_dtype=t.moment_dtype)
+                     moment_dtype=t.moment_dtype,
+                     master_weights=t.master_weights)
 
 
 def create_train_state(cfg: ExperimentConfig, rng: jax.Array, example: Batch,
                        *, sharded: bool = False) -> TrainState:
     """``sharded=True`` builds the optax-chain optimizer state — the mesh
     train steps (parallel/sharding.py) keep the optax path because GSPMD
-    cannot partition the fused-Adam Pallas call over TP-sharded params."""
+    cannot partition the fused-Adam Pallas call over TP-sharded params.
+
+    With ``train.master_weights`` (single-device, fused path):
+    ``TrainState.params`` are the COMPUTE-dtype cast and the f32 master
+    lives in the optimizer state — the per-step cast disappears."""
     params = init_params(cfg, rng, example)
+    if sharded and cfg.train.master_weights:
+        raise ValueError(
+            "train.master_weights is single-device-only (the mesh path "
+            "uses the optax chain); disable it for sharded training")
     if not sharded and uses_fused_optimizer(cfg):
-        return TrainState.create(params, make_fused_opt(cfg))
+        opt = make_fused_opt(cfg)
+        if cfg.train.master_weights:
+            opt_state = opt.init(params)            # f32 master inside
+            return TrainState(step=jnp.zeros((), jnp.int32),
+                              params=cast_params(params,
+                                                 compute_cast_dtype(cfg)),
+                              opt_state=opt_state)
+        return TrainState.create(params, opt)
     return TrainState.create(params, make_tx(cfg))

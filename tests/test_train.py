@@ -289,3 +289,73 @@ def test_train_cli_resume_uses_saved_config(tmp_path):
     train_cli.main(common + ["--resume", "--max-steps", "4"])
     cfg1 = config_from_dict(json.load(open(f"{wd}/config.json")))
     assert cfg1.train.moment_dtype == "float32"
+
+
+def test_master_weights_matches_classic_scheme(overfit_setup):
+    """train.master_weights: params live in bf16, the f32 master in the
+    optimizer state. The rounding points are IDENTICAL to the classic
+    f32-params + per-step-cast scheme (model computes on the same bf16
+    values; the boundary cast bf16->f32 is exact), so the master must
+    track the classic f32 params BIT-exactly — the scheme only removes
+    the cast traffic, not precision."""
+    cfg, ds, batch = overfit_setup
+    cfg = cfg.replace(model=cfg.model.replace(dtype="bfloat16"))
+    base = cfg.replace(train=cfg.train.replace(fused_optimizer=True))
+    cfg_m = base.replace(train=base.train.replace(master_weights=True))
+    base = base.validate()
+    cfg_m = cfg_m.validate()
+
+    s_c = create_train_state(base, jax.random.PRNGKey(0), batch)
+    s_m = create_train_state(cfg_m, jax.random.PRNGKey(0), batch)
+    for leaf in jax.tree.leaves(s_m.params):
+        assert leaf.dtype == jnp.bfloat16, leaf.dtype
+    for leaf in jax.tree.leaves(s_m.opt_state.master):
+        assert leaf.dtype == jnp.float32
+
+    step_c = make_train_step(base, donate=False)
+    step_m = make_train_step(cfg_m, donate=False)
+    rng = jax.random.PRNGKey(5)
+    for i in range(5):
+        s_c, m_c = step_c(s_c, batch, rng)
+        s_m, m_m = step_m(s_m, batch, rng)
+        np.testing.assert_array_equal(
+            np.asarray(m_c["loss"]), np.asarray(m_m["loss"]),
+            err_msg=f"step {i} loss")
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_c.params),
+            jax.tree_util.tree_leaves_with_path(s_m.opt_state.master)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(pa))
+
+
+def test_master_weights_overfit_and_checkpoint(overfit_setup, tmp_path):
+    """Convergence anchor + checkpoint roundtrip (the master tree must
+    survive save/restore for bit-exact resume)."""
+    from speech_tranformer_pytorch_tpu.utils.checkpoint import (Checkpointer,
+                                                                CheckpointState)
+    cfg, ds, batch = overfit_setup
+    cfg = cfg.replace(
+        model=cfg.model.replace(dtype="bfloat16"),
+        train=cfg.train.replace(
+            fused_optimizer=True, master_weights=True)).validate()
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg)
+    rng = jax.random.PRNGKey(42)
+    first_loss = None
+    for i in range(300):
+        state, metrics = step(state, batch, rng)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    final_loss = float(metrics["loss"])
+    assert final_loss < first_loss * 0.35, (first_loss, final_loss)
+
+    ck = Checkpointer(str(tmp_path / "ck"), async_save=False)
+    ck.save(1, CheckpointState(state, rng, 0, 0, "h"))
+    ck.wait()
+    template = CheckpointState(
+        create_train_state(cfg, jax.random.PRNGKey(9), batch), rng, 0, 0, "h")
+    _, restored = ck.restore(template)
+    for a, b in zip(jax.tree.leaves(state.opt_state.master),
+                    jax.tree.leaves(restored.state.opt_state.master)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ck.close()
