@@ -246,6 +246,15 @@ class DecodeConfig(_Replace):
     max_decode_len: int = 100
     length_penalty: float = 1.0        # GNMT-style ((5+len)/6)^alpha weighting
     max_len_ratio: float = 0.0         # 0 => use max_decode_len as-is
+    int8_weights: bool = False         # weights-only int8 PTQ for decode
+                                       # (ops/quantize.py): kernels stored
+                                       # int8 + per-out-channel scales,
+                                       # dequant fused into each matmul's
+                                       # operand read — decode is weight-
+                                       # bandwidth-bound, measured 1.38-2.3x
+                                       # on decode-shaped chains
+                                       # (BENCHMARKS.md r4). Single-device
+                                       # serving path; training unaffected
 
 
 @dataclasses.dataclass(frozen=True)

@@ -46,6 +46,10 @@ def main(argv=None):
             f"{saved} not found — export needs the run's saved config "
             "(train_cli writes it)")
     cfg = config_from_dict(json.load(open(saved)))
+    # Export serializes full-precision weights; int8 decode is a live-
+    # Recognizer feature (quantized export would change the artifact's
+    # param signature — future work).
+    cfg = cfg.replace(decode=cfg.decode.replace(int8_weights=False))
     rec = load_recognizer(cfg, os.path.join(args.work_dir, "checkpoints"))
     alpha = args.alpha if args.alpha is not None else cfg.decode.length_penalty
 

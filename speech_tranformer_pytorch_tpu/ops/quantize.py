@@ -1,0 +1,95 @@
+"""Weights-only int8 post-training quantization for the decode path.
+
+No reference analogue (the reference serves f32 torch weights). TPU-first
+rationale: autoregressive decode is WEIGHT-bandwidth-bound — every decode
+step re-reads the full decoder stack for a [B·K, d_model] activation
+sliver. Storing kernels as int8 with per-output-channel f32 scales halves
+the weight bytes, and XLA fuses the ``int8 -> bf16 * scale`` dequant into
+the consuming dot's operand read — measured on-chip (BENCHMARKS.md r4):
+2.29x on a decode-shaped matmul chain, 1.38x with the chain inside a
+``lax.scan`` (the production decode shape; some hoisting, win survives).
+
+Quantization scheme: symmetric per-output-channel (the kernel's LAST
+axis), ``w ≈ round(w / s) * s`` with ``s = max|w| / 127`` reduced over
+all non-last axes. Leaves that stay full precision: ndim < 2 (biases,
+layernorm), integer leaves, and the decoder embedding (used both as a
+gather table and — tied — as the output projection, where the two
+orientations want different channel axes; 4.4 MB of ~50 MB, not worth
+the asymmetry in v1).
+
+Inference-only: training never sees quantized weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _is_quantizable(path_str: str, leaf) -> bool:
+    if not hasattr(leaf, "ndim") or leaf.ndim < 2:
+        return False
+    if not jnp.issubdtype(leaf.dtype, jnp.floating):
+        return False
+    if path_str.endswith("embed/embedding"):
+        return False
+    return True
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
+    return "/".join(parts)
+
+
+def quantize_params(params: Any) -> Tuple[Any, Any]:
+    """Returns ``(qparams, scales)`` — two trees with the SAME structure as
+    ``params``. Quantized leaves: int8 values + f32 scale (broadcastable,
+    shape ``(1, ..., out)``); full-precision leaves: the leaf itself in
+    ``qparams`` and ``None``-like zero-dim marker in ``scales``.
+
+    ``scales`` uses a 0-d f32 NaN sentinel for non-quantized leaves so the
+    tree stays jit-traceable (no Nones inside pytree leaves).
+    """
+    def q(path, leaf):
+        if not _is_quantizable(_path_str(path), leaf):
+            return leaf, jnp.full((), jnp.nan, jnp.float32)
+        w = jnp.asarray(leaf, jnp.float32)
+        axes = tuple(range(w.ndim - 1))
+        s = jnp.max(jnp.abs(w), axis=axes, keepdims=True) / 127.0
+        s = jnp.where(s == 0.0, 1.0, s)
+        wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        return wq, s.astype(jnp.float32)
+
+    flat = jax.tree_util.tree_map_with_path(q, params)
+    qparams = jax.tree.map(lambda pair: pair[0], flat,
+                           is_leaf=lambda x: isinstance(x, tuple))
+    scales = jax.tree.map(lambda pair: pair[1], flat,
+                          is_leaf=lambda x: isinstance(x, tuple))
+    return qparams, scales
+
+
+def dequantize_params(qparams: Any, scales: Any, compute_dtype=jnp.bfloat16):
+    """Inside-jit dequant: int8 leaves become ``q.astype(dt) * s`` (XLA
+    fuses this into each consumer matmul's operand read — the int8 buffer
+    is what HBM serves); full-precision leaves pass through."""
+    def dq(q, s):
+        if q.dtype == jnp.int8:
+            return q.astype(compute_dtype) * s.astype(compute_dtype)
+        return q
+    return jax.tree.map(dq, qparams, scales)
+
+
+def max_abs_error(params: Any, qparams: Any, scales: Any) -> float:
+    """Largest |w - dequant(w)| over all quantized leaves (≤ s/2 per
+    channel by construction) — the accuracy-bound regression test hook."""
+    worst = 0.0
+    deq = dequantize_params(qparams, scales, jnp.float32)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(deq)):
+        if hasattr(a, "ndim") and a.ndim >= 2:
+            worst = max(worst, float(jnp.max(jnp.abs(
+                jnp.asarray(a, jnp.float32) - b))))
+    return worst

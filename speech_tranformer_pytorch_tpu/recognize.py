@@ -15,6 +15,7 @@ import time
 from typing import Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .config import ExperimentConfig
@@ -43,6 +44,22 @@ class Recognizer:
         from .train import build_model, cast_params, compute_cast_dtype
         self.params = cast_params(params, compute_cast_dtype(cfg))
         self.model = build_model(cfg, mesh=mesh)
+        # Weights-only int8 PTQ (decode.int8_weights): kernels live as
+        # int8 + per-out-channel scales; the jitted decode dequantizes
+        # inside the program so XLA fuses the dequant into each matmul's
+        # weight read — HBM serves int8 (decode is weight-bandwidth-bound;
+        # measured win in BENCHMARKS.md r4). self.params becomes the
+        # (qparams, scales) pair; _beam_fn builds matching signatures.
+        self._int8 = bool(getattr(cfg.decode, "int8_weights", False))
+        if self._int8:
+            if mesh is not None:
+                raise ValueError(
+                    "decode.int8_weights is single-device serving only "
+                    "(v1): disable it for mesh/distributed decode")
+            from .ops.quantize import quantize_params
+            # Quantize from the f32 checkpoint values (params were cast to
+            # bf16 above — re-deriving scales from bf16 would double-round).
+            self.params = quantize_params(params)
         if mesh is not None:
             from .parallel.sharding import param_shardings
             # Host snapshot first: device_put of a device-COMMITTED array
@@ -71,6 +88,18 @@ class Recognizer:
                     fn = make_sharded_beam_decode(
                         model, self.mesh, beam_size=beam_size,
                         max_len=max_len, alpha=alpha)(self.params)
+            elif self._int8:
+                from .ops.quantize import dequantize_params
+                from .train import compute_cast_dtype
+                dt = compute_cast_dtype(self.cfg) or jnp.float32
+                if beam_size == 1:
+                    fn = jax.jit(lambda qp, f, l: greedy_decode_jit(
+                        model, dequantize_params(*qp, dt), f, l,
+                        max_len=max_len))
+                else:
+                    fn = jax.jit(lambda qp, f, l: beam_decode(
+                        model, dequantize_params(*qp, dt), f, l,
+                        beam_size=beam_size, max_len=max_len, alpha=alpha))
             elif beam_size == 1:
                 fn = jax.jit(lambda p, f, l: greedy_decode_jit(
                     model, p, f, l, max_len=max_len))

@@ -31,6 +31,11 @@ def main(argv=None):
                          "throughput at 32 on v5e: +14%% over 16, flat at "
                          "64 — BENCHMARKS.md)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--int8", action="store_true",
+                    help="weights-only int8 decode (decode.int8_weights): "
+                         "kernels stored int8 + per-channel scales, dequant "
+                         "fused into the matmul reads — decode is weight-"
+                         "bandwidth-bound (BENCHMARKS.md r4); single-device")
     ap.add_argument("--mesh", choices=("auto", "on", "off"), default="auto",
                     help="'auto': sharded decode over a ('data','model') "
                          "mesh when mesh.model_axis>1 (TP-trained "
@@ -67,6 +72,8 @@ def main(argv=None):
             cfg = apply_overrides(cfg, overrides)
     else:
         cfg = resolve_config(args)
+    if args.int8:
+        cfg = cfg.replace(decode=cfg.decode.replace(int8_weights=True))
     manifest = args.manifest or os.path.join(args.data_dir,
                                              f"{args.split}.jsonl")
     mesh = None

@@ -155,3 +155,56 @@ def test_decode_manifest_refuses_bare_multiprocess(setup, monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     with pytest.raises(RuntimeError, match="distributed=True"):
         rec.decode_manifest(paths["train"], beam_size=1, max_len=8)
+
+
+class TestInt8WeightsDecode:
+    """decode.int8_weights: weights-only PTQ for the decode path
+    (ops/quantize.py) — kernels stored int8 + per-out-channel scales,
+    dequant inside the jitted decode. Accuracy must hold on the overfit
+    corpus, and the quantization error is bounded by construction."""
+
+    def test_quantize_roundtrip_bounds(self, setup):
+        import jax
+        import jax.numpy as jnp
+        from speech_tranformer_pytorch_tpu.ops.quantize import (
+            dequantize_params, max_abs_error, quantize_params)
+
+        cfg, paths, work, params = setup
+        qp, sc = quantize_params(params)
+        # embedding stays full precision; biases untouched; kernels int8
+        flat_q = {jax.tree_util.keystr(p): l for p, l in
+                  jax.tree_util.tree_leaves_with_path(qp)}
+        assert any(l.dtype == jnp.int8 for l in flat_q.values())
+        for key, leaf in flat_q.items():
+            if "embed" in key and "embedding" in key:
+                assert leaf.dtype != jnp.int8, key
+            if hasattr(leaf, "ndim") and leaf.ndim < 2:
+                assert leaf.dtype != jnp.int8, key
+        # |w - dq| <= s/2 per channel => globally <= max(s)/2
+        worst = max_abs_error(params, qp, sc)
+        smax = max(float(jnp.max(s)) for s in jax.tree.leaves(sc)
+                   if s.ndim > 0)
+        assert 0.0 < worst <= smax / 2 + 1e-7
+
+    def test_int8_decode_accuracy_on_overfit_corpus(self, setup):
+        cfg, paths, work, params = setup
+        cfg8 = cfg.replace(decode=cfg.decode.replace(int8_weights=True))
+        rec = Recognizer(cfg8, params)
+        scores = rec.decode_manifest(paths["train"], beam_size=3, max_len=8,
+                                     batch_size=8)
+        assert scores["cer"] <= 5.0, scores   # matches the bf16 bound
+
+    def test_int8_greedy_matches_shapes(self, setup):
+        cfg, paths, work, params = setup
+        cfg8 = cfg.replace(decode=cfg.decode.replace(int8_weights=True))
+        rec = Recognizer(cfg8, params)
+        scores = rec.decode_manifest(paths["train"], beam_size=1, max_len=8,
+                                     batch_size=8)
+        assert scores["cer"] <= 5.0, scores
+
+    def test_int8_rejects_mesh(self, setup):
+        from speech_tranformer_pytorch_tpu.parallel import make_mesh
+        cfg, paths, work, params = setup
+        cfg8 = cfg.replace(decode=cfg.decode.replace(int8_weights=True))
+        with pytest.raises(ValueError, match="int8"):
+            Recognizer(cfg8, params, mesh=make_mesh(model_axis_size=2))
