@@ -466,7 +466,13 @@ def sharded_config() -> ExperimentConfig:
     workspace-bound), non-causal, no attention dropout, exact vs dot
     (tests/test_ring_model.py). Mesh-less constructors (init, eval,
     single-chip inference) substitute the numerically-identical dot core
-    via train.build_model, so checkpoints are interchangeable."""
+    via train.build_model, so checkpoints are interchangeable.
+
+    Adding ``use_flash_attention=True`` on top composes ring with the
+    Pallas flash kernel as the per-ring-block body (O(block) memory
+    inside each shard; fwd+grad exactness tested on the fake mesh —
+    tests/test_ring_model.py::TestEncoderRingFlashBody). Kept off in the
+    preset until measured on real multi-chip TP hardware."""
     return ExperimentConfig(
         name="sharded",
         features=FeatureConfig(output_dtype="bfloat16"),
