@@ -31,6 +31,12 @@ def main(argv=None):
                          "throughput at 32 on v5e: +14%% over 16, flat at "
                          "64 — BENCHMARKS.md)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--checkpoint", choices=("latest", "best"),
+                    default="latest",
+                    help="'best' decodes the best-dev-loss model the "
+                         "Trainer tracked (work_dir/best — reference "
+                         "Solver best-model parity); 'latest' the newest "
+                         "step checkpoint")
     ap.add_argument("--int8", action="store_true",
                     help="weights-only int8 decode (decode.int8_weights): "
                          "kernels stored int8 + per-channel scales, dequant "
@@ -89,7 +95,13 @@ def main(argv=None):
         from .parallel.mesh import make_mesh_auto
         mesh = make_mesh_auto(cfg.mesh)
     from .recognize import load_recognizer
-    rec = load_recognizer(cfg, os.path.join(args.work_dir, "checkpoints"),
+    ckpt_dir = os.path.join(
+        args.work_dir, "best" if args.checkpoint == "best" else "checkpoints")
+    if args.checkpoint == "best" and not os.path.isdir(ckpt_dir):
+        raise FileNotFoundError(
+            f"{ckpt_dir} not found — the run had no dev evals, so no "
+            "best model was tracked (use --checkpoint latest)")
+    rec = load_recognizer(cfg, ckpt_dir,
                           vocab_path=cfg.data.vocab_path or None, mesh=mesh)
     scores = rec.decode_manifest(
         manifest, beam_size=args.beam, max_len=args.max_len,

@@ -92,7 +92,16 @@ class Trainer:
         self.dev_ds = None
         dev_path = dev_manifest or cfg.data.dev_manifest
         if dev_path:
-            self.dev_ds = ManifestDataset(dev_path, cfg.data, cfg.features)
+            ds = ManifestDataset(dev_path, cfg.data, cfg.features)
+            if len(ds) == 0:
+                # An empty dev manifest (e.g. a prepared corpus with
+                # num_dev=0) would evaluate to dev loss 0.0 and instantly
+                # claim work_dir/best — treat it as "no dev set".
+                import warnings
+                warnings.warn(f"dev manifest {dev_path} has 0 usable "
+                              "utterances; disabling dev evaluation")
+            else:
+                self.dev_ds = ds
 
         shard_index = jax.process_index()
         num_shards = jax.process_count()
@@ -332,7 +341,12 @@ class Trainer:
             max_decode_batches = self.cfg.train.dev_decode_batches
         total_loss, total_tokens = 0.0, 0.0
         refs, hyps = [], []
-        decode_fns = {}
+        # Instance-level jit cache: a fresh dict (and fresh lambdas) per
+        # evaluate() call made EVERY dev eval re-trace the greedy decode —
+        # with mid-epoch evals that is a retrace per eval_every_steps.
+        if not hasattr(self, "_eval_decode_fns"):
+            self._eval_decode_fns = {}
+        decode_fns = self._eval_decode_fns
         sampled = False
         for bi, abatch in enumerate(self.dev_batcher.epoch(0)):
             m = self.eval_fn(self.state.params, abatch)

@@ -208,3 +208,50 @@ class TestInt8WeightsDecode:
         cfg8 = cfg.replace(decode=cfg.decode.replace(int8_weights=True))
         with pytest.raises(ValueError, match="int8"):
             Recognizer(cfg8, params, mesh=make_mesh(model_axis_size=2))
+
+
+def test_recognize_cli_best_checkpoint(tmp_path):
+    """--checkpoint best decodes the Trainer's best-dev model
+    (work_dir/best, reference Solver parity); a run without dev evals
+    fails with an actionable error."""
+    import json
+
+    from speech_tranformer_pytorch_tpu import (prepare_cli, recognize_cli,
+                                               train_cli)
+
+    data = tmp_path / "d"
+    work = tmp_path / "w"
+    prepare_cli.main(["synthetic", "--out", str(data), "--num-train", "8",
+                      "--num-dev", "4", "--num-test", "4",
+                      "--vocab-size", "16"])
+    common = ["--preset", "tiny", "--data-dir", str(data),
+              "--set", "model.d_model=32", "--set", "model.num_heads=2",
+              "--set", "model.d_ff=64", "--set", "model.num_encoder_layers=1",
+              "--set", "model.num_decoder_layers=1",
+              "--set", "model.subsample_channels=4",
+              "--set", "train.batch_size=8",
+              "--set", "train.checkpoint_every_steps=2",
+              "--set", "train.eval_every_steps=2"]
+    train_cli.main(common + ["--work-dir", str(work), "--max-steps", "4"])
+    assert (work / "best").is_dir()
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        recognize_cli.main(["--data-dir", str(data), "--work-dir", str(work),
+                            "--split", "test", "--beam", "2",
+                            "--batch-size", "4", "--checkpoint", "best"])
+    scores = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert scores["utterances"] == 4.0
+
+    # no-dev run -> actionable failure
+    work2 = tmp_path / "w2"
+    prepare_cli.main(["synthetic", "--out", str(tmp_path / "d2"),
+                      "--num-train", "8", "--num-dev", "0", "--num-test", "0",
+                      "--vocab-size", "16"])
+    train_cli.main(common[:2] + ["--data-dir", str(tmp_path / "d2"),
+                   "--work-dir", str(work2)] + common[4:]
+                   + ["--max-steps", "2"])
+    with pytest.raises(FileNotFoundError, match="best"):
+        recognize_cli.main(["--data-dir", str(tmp_path / "d2"),
+                            "--work-dir", str(work2), "--split", "train",
+                            "--beam", "1", "--checkpoint", "best"])
