@@ -13,8 +13,11 @@ from .config import ExperimentConfig, apply_overrides, get_config
 
 
 def add_common_args(ap: argparse.ArgumentParser) -> None:
-    ap.add_argument("--preset", default="base",
-                    help="tiny|base|large|librispeech|sharded")
+    # Default is None (resolved to "base" in resolve_config) so callers can
+    # tell an explicit --preset apart from the default — train_cli --resume
+    # refuses an explicit preset rather than silently ignoring it.
+    ap.add_argument("--preset", default=None,
+                    help="tiny|base|large|librispeech|sharded (default: base)")
     ap.add_argument("--data-dir", default=None,
                     help="directory with {train,dev,test}.jsonl + vocab.json")
     ap.add_argument("--set", action="append", default=[], metavar="K=V",
@@ -37,7 +40,7 @@ def resolve_config(args) -> ExperimentConfig:
         k, v = kv.split("=", 1)
         overrides[k] = _parse_value(v)
 
-    cfg = get_config(args.preset)
+    cfg = get_config(args.preset or "base")
     if args.data_dir:
         d = args.data_dir
         data_overrides = {}

@@ -100,11 +100,34 @@ def _safe_extract_tar(archive: str, dest: str) -> None:
             tf.extractall(dest, filter="data")   # py>=3.12 traversal guard
         except TypeError:                        # older tarfile: check by hand
             base = os.path.realpath(dest)
-            for m in tf.getmembers():
-                target = os.path.realpath(os.path.join(dest, m.name))
-                if not target.startswith(base + os.sep) and target != base:
+
+            def inside(p: str) -> bool:
+                rp = os.path.realpath(p)
+                return rp == base or rp.startswith(base + os.sep)
+
+            members = tf.getmembers()
+            for m in members:
+                if not inside(os.path.join(dest, m.name)):
                     raise ValueError(f"unsafe tar member {m.name!r}")
-            tf.extractall(dest)
+                # Links can escape even with a clean member name: a symlink
+                # pointing outside dest followed by a member written through
+                # it (filter='data' rejects these on 3.12+).
+                if m.issym() or m.islnk():
+                    link = m.linkname
+                    if m.issym() and not os.path.isabs(link):
+                        link = os.path.join(dest, os.path.dirname(m.name), link)
+                    elif m.islnk():
+                        link = os.path.join(dest, link)
+                    if not inside(link):
+                        raise ValueError(
+                            f"unsafe tar link {m.name!r} -> {m.linkname!r}")
+            # Extract one member at a time, re-resolving the parent dir so a
+            # member written through an earlier in-archive symlink still
+            # cannot land outside dest.
+            for m in members:
+                if not inside(os.path.join(dest, os.path.dirname(m.name))):
+                    raise ValueError(f"unsafe tar member path {m.name!r}")
+                tf.extract(m, dest)
 
 
 def download_aishell(
@@ -139,7 +162,22 @@ def download_aishell(
             urllib.request.urlretrieve(url, tmp)
             os.replace(tmp, tarball)
         if extract:
-            _safe_extract_tar(tarball, dest_dir)
+            # Extract to a scratch dir and os.replace into place (mirroring
+            # the .part download pattern) so an interrupted extraction can
+            # never leave a partial data_aishell/ that later re-entries
+            # mistake for a complete corpus tree.
+            import shutil
+            scratch = os.path.join(dest_dir, ".extract_tmp")
+            if os.path.isdir(scratch):
+                shutil.rmtree(scratch)
+            os.makedirs(scratch)
+            _safe_extract_tar(tarball, scratch)
+            extracted = os.path.join(scratch, os.path.basename(corpus_root))
+            if not os.path.isdir(extracted):
+                raise FileNotFoundError(
+                    f"archive did not contain {os.path.basename(corpus_root)}/")
+            os.replace(extracted, corpus_root)
+            shutil.rmtree(scratch)
     if extract:
         # Per-speaker inner archives: wav/{train,dev,test} trees live
         # inside S*.tar.gz files relative to the wav/ dir.

@@ -13,17 +13,32 @@ import ctypes
 import os
 from typing import Dict, List, Sequence, Tuple
 
-_LIB = None
+_LIB = None                 # library with the per-pair symbol bound
+_LIB_HAS_CORPUS = False     # batched corpus symbol also present (newer .so)
 _LIB_TRIED = False
 
 
+def _build_native(so: str) -> None:
+    """Best-effort `make` of the .so (it is a build artifact, not versioned)."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=os.path.dirname(so), timeout=120,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, check=False)
+    except (OSError, subprocess.SubprocessError):
+        pass
+
+
 def _load_native():
-    global _LIB, _LIB_TRIED
+    global _LIB, _LIB_HAS_CORPUS, _LIB_TRIED
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
     so = os.path.join(os.path.dirname(__file__), "..", "native", "libeditdistance.so")
     so = os.path.abspath(so)
+    if not os.path.exists(so):
+        _build_native(so)
     if os.path.exists(so):
         try:
             lib = ctypes.CDLL(so)
@@ -32,15 +47,22 @@ def _load_native():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ]
-            p_i32 = ctypes.POINTER(ctypes.c_int32)
-            p_i64 = ctypes.POINTER(ctypes.c_int64)
-            lib.edit_distance_corpus_i32.restype = None
-            lib.edit_distance_corpus_i32.argtypes = [
-                p_i32, p_i64, p_i32, p_i64, ctypes.c_int64, p_i64,
-            ]
             _LIB = lib
         except (OSError, AttributeError):
             _LIB = None
+        # The batched corpus entry point shipped later than the per-pair one;
+        # a stale .so that lacks it should still serve the per-pair path.
+        if _LIB is not None:
+            try:
+                p_i32 = ctypes.POINTER(ctypes.c_int32)
+                p_i64 = ctypes.POINTER(ctypes.c_int64)
+                _LIB.edit_distance_corpus_i32.restype = None
+                _LIB.edit_distance_corpus_i32.argtypes = [
+                    p_i32, p_i64, p_i32, p_i64, ctypes.c_int64, p_i64,
+                ]
+                _LIB_HAS_CORPUS = True
+            except AttributeError:
+                _LIB_HAS_CORPUS = False
     return _LIB
 
 
@@ -107,7 +129,7 @@ def cer(refs: List[Sequence[int]], hyps: List[Sequence[int]]) -> Dict[str, float
     if len(refs) != len(hyps):
         raise ValueError(f"refs ({len(refs)}) and hyps ({len(hyps)}) differ in count")
     lib = _load_native()
-    if lib is not None and refs:
+    if lib is not None and _LIB_HAS_CORPUS and refs:
         errors, total = _corpus_errors_native(lib, refs, hyps)
     else:
         errors = 0

@@ -42,8 +42,15 @@ def main(argv=None):
         # Resume uses the run's OWN saved config as the base (the same
         # contract recognize_cli follows), so library-default changes
         # between versions (e.g. train.moment_dtype, data.audio_dtype)
-        # can never silently alter a resumed run; --preset/--set still
-        # override on top.
+        # can never silently alter a resumed run; --set overrides apply
+        # on top. A --preset on resume is NOT applied (the saved config
+        # wins) — common when re-running the original command line with
+        # --resume appended, so it warns rather than errors.
+        if args.preset is not None:
+            import sys
+            print(f"warning: --preset {args.preset} ignored on --resume "
+                  "(the run's saved config.json is the base; use --set "
+                  "K=V for targeted changes)", file=sys.stderr)
         import json as _json
 
         from .cli_common import _parse_value
