@@ -78,9 +78,18 @@ class SpecAugmentConfig(_Replace):
     enabled: bool = False
     num_freq_masks: int = 2
     freq_mask_width: int = 27
-    num_time_masks: int = 2
+    num_time_masks: int = 2        # static cap; the applied count is
+                                   # min(this, frames·time_masks_per_frame)
+                                   # when the adaptive policy is on
     time_mask_width: int = 100
     time_mask_max_frac: float = 0.2
+    time_masks_per_frame: float = 0.0   # >0: adaptive multiplicity (the
+                                        # paper's LD policy) — time-mask
+                                        # count scales with valid frames
+    max_total_frac: float = 0.6    # per-axis budget: summed mask widths
+                                   # never exceed this fraction of the
+                                   # axis's valid length (short utterances
+                                   # can never be fully masked); <=0 = off
 
 
 @dataclasses.dataclass(frozen=True)
@@ -433,7 +442,8 @@ def large_config() -> ExperimentConfig:
             num_encoder_layers=12, num_decoder_layers=6,
             max_source_positions=3000, remat=True, scan_layers=True,
         ),
-        spec_augment=SpecAugmentConfig(enabled=True),
+        spec_augment=SpecAugmentConfig(enabled=True, num_time_masks=10,
+                                       time_masks_per_frame=0.005),
         train=TrainConfig(batch_size=96, warmup_steps=8000),
     )
 
@@ -448,7 +458,8 @@ def librispeech_config() -> ExperimentConfig:
             num_encoder_layers=12, num_decoder_layers=6,
             max_target_positions=256,
         ),
-        spec_augment=SpecAugmentConfig(enabled=True),
+        spec_augment=SpecAugmentConfig(enabled=True, num_time_masks=10,
+                                       time_masks_per_frame=0.005),
         data=DataConfig(tokenizer="bpe", bpe_vocab_size=5000, max_target_len=256),
         train=TrainConfig(batch_size=96, warmup_steps=10000, label_smoothing=0.1),
     )

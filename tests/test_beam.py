@@ -210,3 +210,19 @@ def test_early_stop_equals_full_scan(trained):
                                np.asarray(full.scores), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(fast.lengths),
                                   np.asarray(full.lengths))
+
+
+def test_greedy_early_stop_equals_full_scan(trained):
+    """Greedy while_loop early exit (all sequences emitted <eos>) must be
+    exact vs the fixed-trip scan: finished rows append only <pad>, which
+    is what the pad-initialized buffer already holds."""
+    cfg, model, params, ds, batch = trained
+    max_len = 8
+    t_full, l_full = jax.jit(lambda p, f, l: greedy_decode_jit(
+        model, p, f, l, max_len=max_len, early_stop=False)
+    )(params, batch.feats, batch.frame_lens)
+    t_fast, l_fast = jax.jit(lambda p, f, l: greedy_decode_jit(
+        model, p, f, l, max_len=max_len, early_stop=True)
+    )(params, batch.feats, batch.frame_lens)
+    np.testing.assert_array_equal(np.asarray(t_fast), np.asarray(t_full))
+    np.testing.assert_array_equal(np.asarray(l_fast), np.asarray(l_full))

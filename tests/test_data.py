@@ -188,6 +188,56 @@ class TestSpecAugment:
         b = spec_augment(jax.random.PRNGKey(2), feats, lens, cfg)
         assert not np.array_equal(np.asarray(a), np.asarray(b))
 
+    def test_budget_short_utterance_never_fully_masked(self):
+        """max_total_frac property: even when num_time_masks x
+        time_mask_width >> frames, at least (1 - frac) of the valid
+        frames survive on every draw (VERDICT r4 weak #5 — the old
+        budget parameter was dead and time masks had none at all)."""
+        frac = 0.5
+        cfg = SpecAugmentConfig(enabled=True, num_time_masks=8,
+                                time_mask_width=100,
+                                time_mask_max_frac=1.0,
+                                max_total_frac=frac,
+                                num_freq_masks=4, freq_mask_width=40)
+        t, f, n_valid = 40, 80, 30   # 8 masks x up to 30 wide vs 30 frames
+        feats = jnp.ones((1, t, f))
+        lens = jnp.array([n_valid])
+        for seed in range(50):
+            out = np.asarray(spec_augment(jax.random.PRNGKey(seed),
+                                          feats, lens, cfg))[0]
+            # a time step is masked iff its whole feature row is zero
+            alive_rows = (out[:n_valid] != 0).any(axis=1).sum()
+            assert alive_rows >= int(n_valid * (1 - frac)), (seed, alive_rows)
+            # freq axis budget: some mel bins survive in full
+            alive_cols = (out[:n_valid] != 0).any(axis=0).sum()
+            assert alive_cols >= int(f * (1 - frac)), (seed, alive_cols)
+
+    def test_adaptive_time_mask_count(self):
+        """time_masks_per_frame scales the applied mask count with the
+        utterance's valid length: a short utterance sees at most its
+        adaptive count of distinct zero spans, a long one up to the cap."""
+        cfg = SpecAugmentConfig(enabled=True, num_freq_masks=0,
+                                num_time_masks=10, time_mask_width=3,
+                                time_mask_max_frac=1.0,
+                                time_masks_per_frame=0.01,
+                                max_total_frac=0.0)
+        t, f = 600, 8
+        feats = jnp.ones((2, t, f))
+        lens = jnp.array([100, 600])   # -> 1 mask vs 6 masks
+        def count_spans(row_alive):
+            # number of 0-runs in the alive vector
+            a = np.concatenate([[True], row_alive, [True]])
+            return int(((~a[1:]) & a[:-1]).sum())
+        short_spans, long_spans = [], []
+        for seed in range(30):
+            out = np.asarray(spec_augment(jax.random.PRNGKey(seed),
+                                          feats, lens, cfg))
+            short_spans.append(count_spans((out[0] != 0).any(axis=1)))
+            long_spans.append(count_spans((out[1] != 0).any(axis=1)))
+        # short utterance: at most 1 span per draw; long: sometimes >1
+        assert max(short_spans) <= 1, short_spans
+        assert max(long_spans) > 1, long_spans
+
 
 class TestGrainPipeline:
     @pytest.fixture(scope="class")
@@ -262,54 +312,6 @@ class TestGrainPipeline:
                                   jax.tree_util.tree_leaves(b)):
                     np.testing.assert_array_equal(np.asarray(fa),
                                                   np.asarray(fb))
-
-    def test_grain_native_iterator_state_resume_bit_exact(self, corpus):
-        """Grain's NATIVE checkpointable-iterator state (epoch_iterator /
-        get_state / set_state round-trip) resumes bit-exactly, and agrees
-        with the plan-skip resume path — under frame-budget batching AND
-        multi-host sharding, the config where plan replay is most likely to
-        drift from grain's own accounting (SURVEY.md §5 checkpoint/resume
-        "grain checkpointable iterators"; VERDICT r1 item #5)."""
-        import json
-
-        from speech_tranformer_pytorch_tpu.data.grain_pipeline import \
-            GrainBucketedPipeline
-        fcfg = FeatureConfig()
-        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=16), fcfg)
-
-        def assert_batches_equal(xs, ys):
-            assert len(xs) == len(ys)
-            for a, b in zip(xs, ys):
-                for fa, fb in zip(jax.tree_util.tree_leaves(a),
-                                  jax.tree_util.tree_leaves(b)):
-                    np.testing.assert_array_equal(np.asarray(fa),
-                                                  np.asarray(fb))
-
-        for shard in range(2):
-            pipe = GrainBucketedPipeline(
-                ds, batch_size=4, bucket_boundaries=(100, 200), target_len=8,
-                seed=3, shard_index=shard, num_shards=2,
-                drop_remainder=False, max_frames_per_batch=200)
-            full = list(pipe.epoch(1))
-            assert len(full) >= 3, "fixture too small to test mid-epoch resume"
-
-            it = pipe.epoch_iterator(1)
-            head = [next(it) for _ in range(2)]
-            state = it.get_state()
-            # The snapshot must survive serialization (it rides a JSON/text
-            # sidecar in a real checkpoint).
-            state = json.loads(json.dumps(state))
-            tail_rest_of_first = list(it)
-
-            # (a) interrupted + native set_state resume == uninterrupted
-            tail_native = list(pipe.epoch_iterator(state=state))
-            assert_batches_equal(head + tail_native, full)
-            # (b) the in-flight iterator itself continued correctly
-            assert_batches_equal(tail_rest_of_first, tail_native)
-            # (c) native resume == metadata-only plan-skip resume (the
-            #     Trainer's production path)
-            tail_skip = list(pipe.epoch(1, skip_batches=2))
-            assert_batches_equal(tail_skip, tail_native)
 
     def test_grain_multihost_batch_count_parity(self, corpus):
         """All shards yield the same number of batches (no deadlock)."""
