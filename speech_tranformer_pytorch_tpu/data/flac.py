@@ -34,7 +34,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["decode_flac", "decode_flac_py", "write_flac", "FlacError"]
+__all__ = ["decode_flac", "decode_flac_py", "write_flac", "flac_info",
+           "FlacError"]
 
 
 class FlacError(ValueError):
@@ -424,6 +425,30 @@ def decode_flac_py(data: bytes) -> Tuple[np.ndarray, int, int]:
     if si_total:
         out = out[:si_total]
     return out, si_rate, si_bps
+
+
+def flac_info(source) -> Tuple[int, int, int, int]:
+    """Read STREAMINFO only (no frame decode): returns
+    ``(total_samples, sample_rate, channels, bits_per_sample)``.
+    Used by manifest builders to record utterance lengths without paying
+    a full decode per file."""
+    if isinstance(source, (str, os.PathLike)):
+        with open(source, "rb") as f:
+            data = f.read(64)
+    else:
+        data = bytes(source[:64])
+    if data[:4] != b"fLaC" or len(data) < 42:
+        raise FlacError("not a FLAC stream")
+    # The first metadata block is STREAMINFO by spec.
+    if (data[4] & 0x7F) != 0:
+        raise FlacError("first metadata block is not STREAMINFO")
+    br = _BitReader(data, 8)
+    br.read(16); br.read(16); br.read(24); br.read(24)
+    rate = br.read(20)
+    channels = br.read(3) + 1
+    bps = br.read(5) + 1
+    total = br.read(36)
+    return total, rate, channels, bps
 
 
 # ---------------------------------------------------------------------------

@@ -38,7 +38,24 @@ def read_audio(path: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
     with the same 1/32768 scale, so WAV-source features are bit-identical
     to the float32 path (the division is by an exact power of two).
     .npy float sources get quantized through int16 (write_wav convention)
-    in that mode — ~1e-5 amplitude noise, far below the log-mel floor."""
+    in that mode — ~1e-5 amplitude noise, far below the log-mel floor.
+
+    .flac (LibriSpeech's format) decodes through the first-party codec
+    (``data/flac.py`` — native C++ with Python fallback); stereo inputs
+    are downmixed to mono, 16-bit PCM maps onto the same int16 transport
+    as WAV."""
+    if path.endswith(".flac"):
+        from .flac import decode_flac
+        pcm, rate, bps = decode_flac(path)
+        if pcm.shape[1] > 1:
+            pcm = np.mean(pcm, axis=1).astype(np.int32)[:, None]
+        pcm = pcm[:, 0]
+        if bps != 16:        # normalize depth onto the 16-bit transport
+            shift = bps - 16
+            pcm = (pcm >> shift) if shift > 0 else (pcm << -shift)
+        if dtype == "int16":
+            return pcm.astype(np.int16), rate
+        return pcm.astype(np.float32) / 32768.0, rate
     if path.endswith(".npy"):
         arr = np.load(path, allow_pickle=False)
         if dtype == "int16":
@@ -244,6 +261,141 @@ def prepare_aishell(
                        "num_samples": int(len(samples)),
                        "sample_rate": int(rate), "text": text,
                        "tokens": tok.encode(text)}
+        mpath = os.path.join(out_dir, f"{split}.jsonl")
+        n = write_manifest(mpath, entries())
+        out[split] = mpath
+        print(f"{split}: {n} utterances -> {mpath}")
+    return out
+
+
+# OpenSLR resource 12 — the LibriSpeech release (per-split tarballs, each
+# containing LibriSpeech/{split}/{speaker}/{chapter}/...).
+LIBRISPEECH_URL_BASE = "https://www.openslr.org/resources/12"
+LIBRISPEECH_TRAIN_SPLITS = ("train-clean-100", "train-clean-360",
+                            "train-other-500")
+
+
+def download_librispeech(
+    dest_dir: str,
+    splits: Iterable[str],
+    *,
+    url_base: str = LIBRISPEECH_URL_BASE,
+) -> str:
+    """Download + untar LibriSpeech splits (OpenSLR 12; one tarball per
+    split, each expanding to ``LibriSpeech/<split>/...``). Re-entry safe
+    the same way as :func:`download_aishell`: .part downloads, scratch-dir
+    extraction + ``os.replace`` into place, and completed splits are
+    skipped. Returns the corpus root (``<dest_dir>/LibriSpeech``) — pass
+    it to :func:`prepare_librispeech`.
+
+    NOTE: no-egress sandbox — tested via ``file://`` URLs over miniature
+    tarballs with the real release layout (see tests/test_data.py)."""
+    import shutil
+    import urllib.request
+
+    os.makedirs(dest_dir, exist_ok=True)
+    corpus_root = os.path.join(dest_dir, "LibriSpeech")
+    os.makedirs(corpus_root, exist_ok=True)
+    for split in splits:
+        split_dir = os.path.join(corpus_root, split)
+        if os.path.isdir(split_dir):
+            continue
+        tarball = os.path.join(dest_dir, f"{split}.tar.gz")
+        if not os.path.exists(tarball):
+            tmp = tarball + ".part"
+            urllib.request.urlretrieve(f"{url_base}/{split}.tar.gz", tmp)
+            os.replace(tmp, tarball)
+        scratch = os.path.join(dest_dir, f".extract_tmp_{split}")
+        if os.path.isdir(scratch):
+            shutil.rmtree(scratch)
+        os.makedirs(scratch)
+        _safe_extract_tar(tarball, scratch)
+        extracted = os.path.join(scratch, "LibriSpeech", split)
+        if not os.path.isdir(extracted):
+            raise FileNotFoundError(
+                f"{split}.tar.gz did not contain LibriSpeech/{split}/")
+        os.replace(extracted, split_dir)
+        shutil.rmtree(scratch)
+        os.remove(tarball)
+    return corpus_root
+
+
+def _walk_librispeech_split(split_dir: str) -> List[Tuple[str, str, str]]:
+    """Walk ``<split>/<speaker>/<chapter>/`` and join each utterance's
+    .flac with its line in the chapter's ``<spk>-<chap>.trans.txt``
+    (format: ``<utt-id> THE UPPERCASE TRANSCRIPT``). Returns sorted
+    (utt_id, flac_path, text)."""
+    out: List[Tuple[str, str, str]] = []
+    for root, _, files in sorted(os.walk(split_dir)):
+        trans = [f for f in files if f.endswith(".trans.txt")]
+        if not trans:
+            continue
+        texts: Dict[str, str] = {}
+        for t in trans:
+            with open(os.path.join(root, t), encoding="utf-8") as f:
+                for line in f:
+                    parts = line.strip().split(maxsplit=1)
+                    if len(parts) == 2:
+                        texts[parts[0]] = parts[1]
+        for fn in sorted(files):
+            if fn.endswith(".flac"):
+                utt_id = os.path.splitext(fn)[0]
+                if utt_id in texts:
+                    out.append((utt_id, os.path.join(root, fn),
+                                texts[utt_id]))
+    return sorted(out)
+
+
+def prepare_librispeech(
+    corpus_dir: str,
+    out_dir: str,
+    *,
+    train_splits: Iterable[str] = LIBRISPEECH_TRAIN_SPLITS,
+    dev_splits: Iterable[str] = ("dev-clean",),
+    test_splits: Iterable[str] = ("test-clean",),
+    bpe_vocab_size: int = 5000,
+) -> Dict[str, str]:
+    """LibriSpeech layout: ``<split>/<speaker>/<chapter>/<utt>.flac`` +
+    per-chapter ``*.trans.txt`` (BASELINE.json configs[3]; the 960 h
+    train set is the union of the three train splits). Trains a BPE-5k
+    tokenizer on the train transcripts, emits per-split JSONL manifests
+    whose ``audio`` entries are the .flac paths (read via the first-party
+    codec). Utterance lengths come from STREAMINFO (no decode pass).
+    Returns {"vocab": path, "train": path, "dev": path, "test": path}.
+    """
+    from .flac import flac_info
+    from .tokenizer import BpeTokenizer
+
+    if os.path.isdir(os.path.join(corpus_dir, "LibriSpeech")):
+        corpus_dir = os.path.join(corpus_dir, "LibriSpeech")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def gather(splits):
+        utts = []
+        for s in splits:
+            d = os.path.join(corpus_dir, s)
+            if not os.path.isdir(d):
+                raise FileNotFoundError(f"missing LibriSpeech split {d}")
+            utts.extend(_walk_librispeech_split(d))
+        return utts
+
+    groups = {"train": gather(train_splits), "dev": gather(dev_splits),
+              "test": gather(test_splits)}
+
+    tok = BpeTokenizer.train((t for _, _, t in groups["train"]),
+                             bpe_vocab_size)
+    vocab_path = os.path.join(out_dir, "vocab.json")
+    tok.save(vocab_path)
+
+    out = {"vocab": vocab_path}
+    for split, utts in groups.items():
+        def entries():
+            for utt_id, flac_path, text in utts:
+                total, rate, _, _ = flac_info(flac_path)
+                text_n = " ".join(text.upper().split())
+                yield {"utt_id": utt_id, "audio": flac_path,
+                       "num_samples": int(total), "sample_rate": int(rate),
+                       "text": text_n, "tokens": tok.encode(text_n)}
         mpath = os.path.join(out_dir, f"{split}.jsonl")
         n = write_manifest(mpath, entries())
         out[split] = mpath

@@ -29,6 +29,27 @@ def main(argv=None):
     a.add_argument("--url", default=None,
                    help="override the OpenSLR URL (e.g. a local mirror)")
 
+    ls = sub.add_parser("librispeech",
+                        help="LibriSpeech manifests + BPE vocab (.flac "
+                             "read via the first-party codec)")
+    ls.add_argument("--corpus", required=True,
+                    help="corpus root containing LibriSpeech/<split>/ "
+                         "(or the LibriSpeech/ dir itself); with "
+                         "--download, the download destination")
+    ls.add_argument("--out", required=True)
+    ls.add_argument("--train-splits", default="train-clean-100",
+                    help="comma-separated (960h = train-clean-100,"
+                         "train-clean-360,train-other-500)")
+    ls.add_argument("--dev-splits", default="dev-clean")
+    ls.add_argument("--test-splits", default="test-clean")
+    ls.add_argument("--bpe-vocab-size", type=int, default=5000)
+    ls.add_argument("--download", action="store_true",
+                    help="fetch + untar the OpenSLR 12 split tarballs "
+                         "into --corpus first")
+    ls.add_argument("--url-base", default=None,
+                    help="override the OpenSLR URL base (e.g. a local "
+                         "mirror)")
+
     s = sub.add_parser("synthetic", help="synthetic tone corpus fixture")
     s.add_argument("--out", required=True)
     s.add_argument("--num-train", type=int, default=32)
@@ -52,6 +73,23 @@ def main(argv=None):
                                       url=args.url or AISHELL_URL)
         paths = prepare_aishell(corpus, args.out,
                                 min_count=args.min_count)
+    elif args.cmd == "librispeech":
+        from .data.prepare import (LIBRISPEECH_URL_BASE,
+                                   download_librispeech,
+                                   prepare_librispeech)
+        splits = lambda s: tuple(x for x in s.split(",") if x)
+        corpus = args.corpus
+        if args.download:
+            corpus = download_librispeech(
+                args.corpus,
+                splits(args.train_splits) + splits(args.dev_splits)
+                + splits(args.test_splits),
+                url_base=args.url_base or LIBRISPEECH_URL_BASE)
+        paths = prepare_librispeech(
+            corpus, args.out, train_splits=splits(args.train_splits),
+            dev_splits=splits(args.dev_splits),
+            test_splits=splits(args.test_splits),
+            bpe_vocab_size=args.bpe_vocab_size)
     elif args.cmd == "synthetic":
         from .data.prepare import prepare_synthetic
         paths = prepare_synthetic(

@@ -251,7 +251,7 @@ class Recognizer:
             return max(4, min(max_len, int(d.max_len_ratio * enc_frames)))
 
         sr = self.cfg.features.sample_rate
-        refs, hyps, utt_ids = [], [], []
+        refs, hyps, utt_ids, ref_rows = [], [], [], []
         audio_total = t_total = 0.0
         # Steady-state RTF: the first call at each (shape, decode-args) key
         # includes XLA compilation — count it in rtf_with_compile but keep
@@ -282,6 +282,7 @@ class Recognizer:
             for idx, h in zip(g_rows, out):
                 e = ds.entries[idx]
                 refs.append(e["tokens"])
+                ref_rows.append(idx)
                 hyps.append(h)
                 utt_ids.append(e["utt_id"])
 
@@ -300,6 +301,15 @@ class Recognizer:
                     ds.entries[i]["num_samples"] for i in g_rows) / sr
 
         scores = cer(refs, hyps)
+        if self.tokenizer is not None and hasattr(self.tokenizer, "merges"):
+            # BPE outputs (LibriSpeech): the headline metric is word-level
+            # WER — decode hypotheses to text and score against the
+            # manifest's reference text (token-level "cer" above stays as
+            # the subword error rate).
+            from .ops.metrics import wer
+            ref_words = [ds.entries[i]["text"].split() for i in ref_rows]
+            hyp_words = [self.tokenizer.decode(h).split() for h in hyps]
+            scores["wer"] = wer(ref_words, hyp_words)["wer"]
         scores["rtf"] = t_steady / max(audio_steady, 1e-9)
         scores["rtf_with_compile"] = t_total / max(audio_total, 1e-9)
         scores["audio_seconds"] = audio_total

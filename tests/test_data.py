@@ -622,3 +622,249 @@ class TestAishellDownload:
         with pytest.raises(Exception):
             _safe_extract_tar(str(evil), str(tmp_path / "out"))
         assert not (tmp_path.parent / "escape.txt").exists()
+
+
+class TestFlacCodec:
+    """First-party FLAC codec (data/flac.py + native/flacdec.cc): the
+    Python decoder is the behavioral reference; the native decoder must
+    match it bit-for-bit over every encoder mode the fixture writer can
+    produce (LibriSpeech recipe — VERDICT r4 missing #4)."""
+
+    @staticmethod
+    def _tone(n, seed=0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n)
+        return (3000 * np.sin(0.03 * t) + 500 * np.sin(0.31 * t)
+                + rng.normal(0, 50, n)).astype(np.int16).astype(np.int32)
+
+    def test_roundtrip_all_modes(self, tmp_path):
+        from speech_tranformer_pytorch_tpu.data import flac
+        tone = self._tone(30000)
+        rng = np.random.default_rng(1)
+        cases = [(f"m_{m}", tone, dict(subframe_mode=m))
+                 for m in ("auto", "lpc", "fixed0", "fixed2", "fixed4",
+                           "verbatim")]
+        cases += [
+            ("constant", np.full(9000, -123, np.int32),
+             dict(subframe_mode="constant")),
+            ("noise_escape", rng.integers(-32768, 32767, 15000
+                                          ).astype(np.int32), {}),
+            ("odd_tail", tone[:4097], {}),
+            ("short", tone[:100], {}),
+            ("stereo", np.stack([tone[:8000], tone[:8000] // 2], 1), {}),
+            ("bps8", (tone[:6000] // 256).astype(np.int32), dict(bps=8)),
+            ("bps24", (tone[:6000] * 200).astype(np.int32), dict(bps=24)),
+            ("rate_code", tone[:4000], dict()),
+        ]
+        native = flac._load_native() is not None
+        for name, x, kw in cases:
+            f = str(tmp_path / f"{name}.flac")
+            flac.write_flac(f, x, 16000, **kw)
+            py, r, b = flac.decode_flac(f, force_python=True)
+            want = x if x.ndim == 2 else x[:, None]
+            np.testing.assert_array_equal(py, want, err_msg=name)
+            if native:
+                nat, r2, b2 = flac.decode_flac(f)
+                np.testing.assert_array_equal(nat, py, err_msg=name)
+                assert (r, b) == (r2, b2), name
+
+    def test_flac_info_no_decode(self, tmp_path):
+        from speech_tranformer_pytorch_tpu.data.flac import (flac_info,
+                                                             write_flac)
+        x = self._tone(12345)
+        f = str(tmp_path / "a.flac")
+        write_flac(f, x, 8000)
+        total, rate, channels, bps = flac_info(f)
+        assert (total, rate, channels, bps) == (12345, 8000, 1, 16)
+
+    def test_read_audio_flac_matches_wav(self, tmp_path):
+        """read_audio on .flac == read_audio on the same PCM as .wav, in
+        both float32 and int16 transport modes."""
+        from speech_tranformer_pytorch_tpu.data.prepare import (read_audio,
+                                                                write_wav)
+        from speech_tranformer_pytorch_tpu.data.flac import write_flac
+        import wave
+        x = self._tone(20000)
+        fw = str(tmp_path / "a.wav")
+        ff = str(tmp_path / "a.flac")
+        with wave.open(fw, "wb") as w:   # exact PCM (write_wav re-quantizes)
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(x.astype(np.int16).tobytes())
+        write_flac(ff, x, 16000)
+        for dt in ("float32", "int16"):
+            aw, rw = read_audio(fw, dtype=dt)
+            af, rf = read_audio(ff, dtype=dt)
+            assert rw == rf == 16000
+            np.testing.assert_array_equal(aw, af)
+
+    def test_corrupt_stream_rejected(self, tmp_path):
+        from speech_tranformer_pytorch_tpu.data import flac
+        f = str(tmp_path / "a.flac")
+        flac.write_flac(f, self._tone(5000), 16000)
+        data = bytearray(open(f, "rb").read())
+        data[len(data) // 2] ^= 0xFF       # flip a bit mid-frame
+        with pytest.raises(flac.FlacError):
+            flac.decode_flac_py(bytes(data))
+        if flac._load_native() is not None:
+            with pytest.raises(flac.FlacError):
+                flac.decode_flac(bytes(data))
+        with pytest.raises(flac.FlacError):
+            flac.decode_flac_py(b"RIFF" + bytes(data[4:]))
+
+
+def _make_librispeech_fixture(root, *, seed=0, n_train=8, n_dev=3,
+                              n_test=3):
+    """Miniature LibriSpeech tree: LibriSpeech/<split>/<spk>/<chap>/ with
+    .flac audio (first-party encoder, mixed fixed/LPC subframes) and
+    per-chapter *.trans.txt in the real release format. Transcripts are
+    fake English words so the BPE path is exercised end-to-end.
+    Returns (corpus_root, {split: [(utt_id, text)]})."""
+    import os
+
+    from speech_tranformer_pytorch_tpu.data.flac import write_flac
+    from speech_tranformer_pytorch_tpu.data.synthetic import \
+        make_synthetic_dataset
+
+    words = ["ALPHA", "BRAVO", "CHARLIE", "DELTA", "ECHO", "FOXTROT",
+             "GOLF", "HOTEL", "INDIA", "JULIET", "KILO", "LIMA", "MIKE",
+             "NOVEMBER", "OSCAR", "PAPA", "QUEBEC", "ROMEO", "SIERRA",
+             "TANGO", "UNIFORM", "VICTOR", "WHISKEY", "XRAY", "YANKEE",
+             "ZULU", "ONE", "TWO"]
+    counts = {"train-clean-100": n_train, "dev-clean": n_dev,
+              "test-clean": n_test}
+    total = sum(counts.values())
+    ds = make_synthetic_dataset(total, vocab_size=32, seed=seed)
+    corpus = os.path.join(str(root), "LibriSpeech")
+    out = {}
+    idx = 0
+    for split, n in counts.items():
+        utts = []
+        for j in range(n):
+            spk = str(100 + j % 2)
+            chap = str(200 + j % 2)
+            d = os.path.join(corpus, split, spk, chap)
+            os.makedirs(d, exist_ok=True)
+            utt_id = f"{spk}-{chap}-{idx:04d}"
+            pcm = (np.clip(ds.waves[idx], -1, 1) * 32767).astype(np.int32)
+            write_flac(os.path.join(d, f"{utt_id}.flac"), pcm, 16000)
+            text = " ".join(words[t % len(words)]
+                            for t in ds.transcripts[idx])
+            with open(os.path.join(d, f"{spk}-{chap}.trans.txt"), "a",
+                      encoding="utf-8") as f:
+                f.write(f"{utt_id} {text}\n")
+            utts.append((utt_id, text))
+            idx += 1
+        out[split] = utts
+    return corpus, out
+
+
+class TestLibrispeechPrepare:
+    """LibriSpeech recipe (BASELINE.json configs[3] / SURVEY.md §7 step 8):
+    layout walker + trans.txt join + BPE vocab + .flac manifests."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ls")
+        return _make_librispeech_fixture(root)
+
+    def test_prepare_manifests(self, corpus, tmp_path):
+        from speech_tranformer_pytorch_tpu.data.prepare import (
+            prepare_librispeech, read_manifest)
+        from speech_tranformer_pytorch_tpu.data.tokenizer import \
+            load_tokenizer
+        corpus_root, utts = corpus
+        out = str(tmp_path / "data")
+        paths = prepare_librispeech(
+            corpus_root, out, train_splits=("train-clean-100",),
+            bpe_vocab_size=64)
+        tok = load_tokenizer(paths["vocab"])
+        assert hasattr(tok, "merges")     # BPE, not char
+        for split, want in (("train", "train-clean-100"),
+                            ("dev", "dev-clean"), ("test", "test-clean")):
+            m = read_manifest(paths[split])
+            assert len(m) == len(utts[want])
+            ids = {e["utt_id"] for e in m}
+            assert ids == {u for u, _ in utts[want]}
+            for e in m:
+                assert e["audio"].endswith(".flac")
+                assert e["num_samples"] > 0
+                assert e["sample_rate"] == 16000
+                # tokens decode back to the normalized text (train split:
+                # exact; dev/test may contain train-OOV chars -> <unk>)
+                if split == "train":
+                    assert tok.decode(e["tokens"]) == e["text"]
+                else:
+                    assert (len(tok.decode(e["tokens"]).split())
+                            == len(e["text"].split()))
+
+    def test_prepare_reads_audio(self, corpus, tmp_path):
+        """The manifest's .flac entries load through read_audio with the
+        length STREAMINFO promised (the pipeline buckets by it)."""
+        from speech_tranformer_pytorch_tpu.data.prepare import (
+            prepare_librispeech, read_audio, read_manifest)
+        corpus_root, _ = corpus
+        out = str(tmp_path / "d2")
+        paths = prepare_librispeech(
+            corpus_root, out, train_splits=("train-clean-100",),
+            bpe_vocab_size=48)
+        for e in read_manifest(paths["train"])[:3]:
+            samples, rate = read_audio(e["audio"], dtype="int16")
+            assert len(samples) == e["num_samples"]
+            assert rate == e["sample_rate"]
+
+
+class TestLibrispeechDownload:
+    def test_download_extract_prepare(self, tmp_path):
+        """OpenSLR-12 layout parity via file:// split tarballs (each
+        expands to LibriSpeech/<split>/...), then the full prepare."""
+        import tarfile
+
+        from speech_tranformer_pytorch_tpu import prepare_cli
+        from speech_tranformer_pytorch_tpu.data.prepare import read_manifest
+
+        src = tmp_path / "src"
+        corpus_root, utts = _make_librispeech_fixture(src, n_train=4,
+                                                      n_dev=2, n_test=2)
+        mirror = tmp_path / "mirror"
+        mirror.mkdir()
+        for split in ("train-clean-100", "dev-clean", "test-clean"):
+            with tarfile.open(mirror / f"{split}.tar.gz", "w:gz") as tf:
+                tf.add(os.path.join(corpus_root, split),
+                       arcname=f"LibriSpeech/{split}")
+        dest = tmp_path / "corpus"
+        out = tmp_path / "data"
+        prepare_cli.main([
+            "librispeech", "--download",
+            "--url-base", f"file://{mirror}",
+            "--corpus", str(dest), "--out", str(out),
+            "--train-splits", "train-clean-100",
+            "--bpe-vocab-size", "48"])
+        train = read_manifest(str(out / "train.jsonl"))
+        assert len(train) == 4
+        # tarballs consumed; extracted splits in place
+        assert (dest / "LibriSpeech" / "dev-clean").is_dir()
+        assert not list(dest.glob("*.tar.gz"))
+
+    def test_reentry_skips_completed_splits(self, tmp_path):
+        import tarfile
+
+        from speech_tranformer_pytorch_tpu.data.prepare import \
+            download_librispeech
+
+        src = tmp_path / "src"
+        corpus_root, _ = _make_librispeech_fixture(src, n_train=2, n_dev=1,
+                                                   n_test=1)
+        mirror = tmp_path / "mirror"
+        mirror.mkdir()
+        with tarfile.open(mirror / "dev-clean.tar.gz", "w:gz") as tf:
+            tf.add(os.path.join(corpus_root, "dev-clean"),
+                   arcname="LibriSpeech/dev-clean")
+        dest = tmp_path / "c"
+        root = download_librispeech(str(dest), ["dev-clean"],
+                                    url_base=f"file://{mirror}")
+        # second call must not touch the (now missing) mirror
+        again = download_librispeech(str(dest), ["dev-clean"],
+                                     url_base="file:///nonexistent")
+        assert again == root
