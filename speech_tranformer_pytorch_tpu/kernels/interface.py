@@ -62,6 +62,70 @@ def flash_attention(
         dropout_rate=dropout_rate, deterministic=deterministic)
 
 
+def int8_dense_dispatchable(m: int, k: int, n: int) -> bool:
+    """Should a [m,k]@[k,n] int8-weight dense use the Pallas decode kernel?
+
+    SIZE-AWARE dispatch (measured on v5e, BENCHMARKS.md r5): the kernel
+    wins only where the weight block is big enough for the int8 bandwidth
+    cut to beat the extra Pallas launch + lost elementwise fusion. At the
+    base config (blocks ≤ 1 MB; decode weights ~30% of per-step HBM
+    traffic next to the KV/cross caches) ~30 kernel launches/step measured
+    0.75-0.90x — SLOWER; at d_model=2048/d_ff=8192 (blocks 4-16 MB,
+    weights dominate per-step traffic) the same dispatch measured 1.23x
+    (beam-5) / 1.50x (greedy). Sub-threshold blocks must instead be
+    dequantized into the weight tree and consumed by the PLAIN dense path
+    (QuantDenseGeneral falls through) — the measured-neutral r4 behavior.
+    Threshold override for re-tuning: ST_TPU_INT8_MIN_WEIGHT_BYTES.
+
+    Also requires lane alignment (k, n multiples of 128) and a
+    conservative VMEM fit (x block + double-buffered weight tiles +
+    output block).
+    """
+    min_bytes = int(os.environ.get("ST_TPU_INT8_MIN_WEIGHT_BYTES",
+                                   2 * 2 ** 20))
+    if k % 128 != 0 or n % 128 != 0 or k * n < min_bytes:
+        return False
+    block_n = next(bn for bn in (512, 256, 128) if n % bn == 0)
+    mp = -(-m // 16) * 16
+    vmem = mp * k * 2 + 2 * k * block_n + mp * block_n * 4 + mp * n * 4
+    return vmem <= 12 * 2 ** 20
+
+
+def int8_dense(x: jnp.ndarray,       # [m, k] float (activation sliver)
+               wq: jnp.ndarray,      # [k, n] int8 quantized kernel
+               scale: jnp.ndarray,   # [n] f32 per-output-channel scale
+               ) -> jnp.ndarray:
+    """Int8-weight dense for the decode step: ``(x @ wq) * scale`` with the
+    dequant INSIDE the kernel (kernels/int8_matmul.py) so the HBM weight
+    stream stays int8 per decode step — XLA's dequant-fusion path hoists
+    the loop-invariant ``int8 -> bf16`` out of the decode scan and reads
+    bf16 bytes every step instead (measured, BENCHMARKS.md r4). jnp
+    reference (identical math) off-TPU. Call only for shapes that pass
+    ``int8_dense_dispatchable``; m (the activation rows, B·K at decode)
+    is padded to the bf16 sublane tile here. Returns [m, n] in the
+    activation dtype class (bf16 in, bf16 out; else f32) — f32
+    accumulate + f32 scale either way.
+    """
+    from .int8_matmul import int8_matmul, int8_matmul_reference
+
+    m, k = x.shape
+    n = wq.shape[1]
+    if _pallas_ok():
+        block_n = next(bn for bn in (512, 256, 128) if n % bn == 0)
+        mp = -(-m // 16) * 16
+        # bf16 activations keep a bf16 output (consumer dtype; halves the
+        # output write) — accumulation and scaling stay f32 inside.
+        odt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+        try:
+            xp = x if mp == m else jnp.pad(x, ((0, mp - m), (0, 0)))
+            out = int8_matmul(xp, wq, scale, block_n=block_n,
+                              out_dtype=odt)
+            return out if mp == m else out[:m]
+        except (NotImplementedError, ImportError):
+            pass
+    return int8_matmul_reference(x, wq, scale)
+
+
 def lineage_attention(q_new, self_k, self_v, lineage, index, beam_width):
     """Gather-free beam self-attention over the unpermuted KV cache
     (kernels/lineage_attention.py): fused Pallas kernel on TPU (native

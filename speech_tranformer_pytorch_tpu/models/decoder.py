@@ -248,8 +248,10 @@ class Decoder(nn.Module):
         ]
         self.final_norm = LayerNorm(self.compute_dtype, name="final_norm")
         if not cfg.share_embedding:
-            self.out_proj = nn.Dense(cfg.vocab_size, use_bias=False,
-                                     dtype=self.compute_dtype, name="out_proj")
+            from .modules import QuantDenseGeneral
+            self.out_proj = QuantDenseGeneral(
+                cfg.vocab_size, use_bias=False, dtype=self.compute_dtype,
+                name="out_proj")
 
     def _logits(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.cfg.share_embedding:

@@ -220,6 +220,111 @@ class Conv2dSubsampling(nn.Module):
         return nn.Dense(self.d_model, dtype=self.dtype)(x)     # [B,T',d_model]
 
 
+def _canon_tuple(x) -> Tuple[int, ...]:
+    return tuple(x) if isinstance(x, (tuple, list)) else (x,)
+
+
+class QuantDenseGeneral(nn.Module):
+    """Drop-in ``nn.DenseGeneral`` with an int8 weights-only decode path.
+
+    The parameter tree — names, shapes, dtypes AND init distribution (the
+    flax flattened-fan ``kernel_init_wrap``) — is identical to
+    ``nn.DenseGeneral``/``nn.Dense``, so checkpoints and seeded inits are
+    interchangeable (tested in test_model.py). One behavioral addition:
+    when the supplied kernel is **int8** (weights-only PTQ,
+    ops/quantize.py) the matmul routes through the Pallas int8 kernel
+    (``kernels/interface.int8_dense``) with the per-output-channel scale
+    read from the ``qscales`` collection at this module's path. The
+    dequant then happens inside the kernel, on the VMEM tile, after the
+    HBM read — XLA cannot hoist it out of the decode scan, which is
+    exactly what it does to the ``(wq * s).astype(bf16)`` dequant-fusion
+    path (measured neutral, BENCHMARKS.md r4: the bf16 tree materializes
+    once and HBM serves bf16 bytes every step).
+
+    Restrictions vs nn.DenseGeneral (all call sites here comply): no
+    batch_dims; contraction axes must be the trailing input axes
+    (``axis=-1`` or ``(-2, -1)``).
+    """
+
+    features: int | Tuple[int, ...]
+    axis: int | Tuple[int, ...] = -1
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        features = _canon_tuple(self.features)
+        ndim = inputs.ndim
+        axis = tuple(sorted(ax % ndim for ax in _canon_tuple(self.axis)))
+        n_axis, n_features = len(axis), len(features)
+        if axis != tuple(range(ndim - n_axis, ndim)):
+            raise ValueError(f"QuantDenseGeneral needs trailing contraction "
+                             f"axes, got axis={self.axis} for ndim={ndim}")
+        contract_dims = tuple(inputs.shape[ax] for ax in axis)
+        kernel_shape = contract_dims + features
+
+        def kernel_init_wrap(rng, shape, dtype=jnp.float32):
+            # flax DenseGeneral flattens to 2D for fan-in/out, then
+            # reshapes — replicated so init distributions match exactly.
+            flat = (int(np.prod(shape[:n_axis])),
+                    int(np.prod(shape[n_axis:])))
+            return jnp.reshape(self.kernel_init(rng, flat, dtype), shape)
+
+        kernel = self.param("kernel", kernel_init_wrap, kernel_shape,
+                            jnp.float32)
+        if self.use_bias:
+            def bias_init_wrap(rng, shape, dtype=jnp.float32):
+                flat = (int(np.prod(shape)),)
+                return jnp.reshape(self.bias_init(rng, flat, dtype), shape)
+            bias = self.param("bias", bias_init_wrap, features, jnp.float32)
+        else:
+            bias = None
+
+        if kernel.dtype == jnp.int8:
+            if not self.has_variable("qscales", "kernel"):
+                raise ValueError(
+                    "int8 kernel without a 'qscales' collection — build the "
+                    "apply() variables with ops.quantize.decode_variables")
+            scale = self.get_variable("qscales", "kernel")
+            from ..kernels.interface import (int8_dense,
+                                            int8_dense_dispatchable)
+            k = int(np.prod(contract_dims))
+            n = int(np.prod(features))
+            lead = inputs.shape[:ndim - n_axis]
+            m = int(np.prod(lead)) if lead else 1
+            if int8_dense_dispatchable(m, k, n):
+                scale_cols = jnp.broadcast_to(
+                    jnp.asarray(scale, jnp.float32),
+                    (1,) * n_axis + features).reshape(n)
+                out = int8_dense(inputs.reshape(m, k), kernel.reshape(k, n),
+                                 scale_cols)
+                out = out.astype(self.dtype).reshape(lead + features)
+                if bias is not None:
+                    out = out + bias.astype(self.dtype)
+                return out
+            # Sub-threshold / unaligned block: dequantize the WEIGHT and
+            # fall through to the exact plain-dense consumption below —
+            # XLA hoists this loop-invariant dequant out of the decode
+            # scan and the step reads the same bf16 bytes as an
+            # unquantized model (the measured-NEUTRAL r4 behavior; every
+            # in-scan reformulation measured 0.75-0.90x at base shapes,
+            # BENCHMARKS.md r5).
+            kernel = kernel.astype(jnp.float32) * jnp.asarray(
+                scale, jnp.float32)
+
+        inputs, kernel, bias = nn.dtypes.promote_dtype(
+            inputs, kernel, bias, dtype=self.dtype)
+        contract_ind = tuple(range(n_axis))
+        out = jax.lax.dot_general(inputs, kernel,
+                                  ((axis, contract_ind), ((), ())))
+        if bias is not None:
+            out = out + jnp.reshape(
+                bias, (1,) * (out.ndim - n_features) + features)
+        return out
+
+
 @jax.custom_vjp
 def _attn_core_bf16(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     bias: jnp.ndarray) -> jnp.ndarray:
@@ -345,16 +450,18 @@ class MultiHeadAttention(nn.Module):
     def setup(self):
         h, d = self.num_heads, self.d_model
         self.head_dim = d // h
-        dense = lambda name: nn.DenseGeneral(
+        # QuantDenseGeneral == nn.DenseGeneral (same param tree/init) plus
+        # the int8 decode-step path — see its docstring.
+        dense = lambda name: QuantDenseGeneral(
             (h, self.head_dim), axis=-1, dtype=self.dtype, name=name)
         if self.fused_qkv:
-            self.qkv_proj = nn.DenseGeneral(
+            self.qkv_proj = QuantDenseGeneral(
                 (3, h, self.head_dim), axis=-1, dtype=self.dtype, name="qkv")
         else:
             self.q_proj = dense("q")
             self.k_proj = dense("k")
             self.v_proj = dense("v")
-        self.out_proj = nn.DenseGeneral(
+        self.out_proj = QuantDenseGeneral(
             d, axis=(-2, -1), dtype=self.dtype, name="out")
 
     def project_qkv(
@@ -490,10 +597,13 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool) -> jnp.ndarray:
-        x = nn.Dense(self.d_ff, dtype=self.dtype)(x)
+        # Names pinned to nn.Dense's auto-names so pre-existing checkpoints
+        # load unchanged (QuantDenseGeneral == nn.Dense param tree).
+        x = QuantDenseGeneral(self.d_ff, dtype=self.dtype, name="Dense_0")(x)
         x = nn.relu(x)
         x = Dropout(self.dropout_rate)(x, deterministic=deterministic)
-        return nn.Dense(self.d_model, dtype=self.dtype)(x)
+        return QuantDenseGeneral(self.d_model, dtype=self.dtype,
+                                 name="Dense_1")(x)
 
 
 class LayerNorm(nn.Module):

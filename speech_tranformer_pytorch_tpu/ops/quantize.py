@@ -35,6 +35,15 @@ def _is_quantizable(path_str: str, leaf) -> bool:
         return False
     if path_str.endswith("embed/embedding"):
         return False
+    if path_str.endswith("/bias"):
+        # DenseGeneral biases are multi-dim ([3,H,Dh] for fused qkv) and
+        # slipped past the ndim<2 guard — int8 biases buy nothing (no
+        # per-step weight-stream traffic to speak of) and the decode path
+        # that keeps int8 leaves raw (decode_variables) must be able to
+        # assume every int8 leaf is a KERNEL with a 'qscales' entry.
+        # (Caught in r5: trained multi-dim biases reached the decode step
+        # unscaled; random-init biases are zeros, which hid it.)
+        return False
     return True
 
 
@@ -81,6 +90,37 @@ def dequantize_params(qparams: Any, scales: Any, compute_dtype=jnp.bfloat16):
             return q.astype(compute_dtype) * s.astype(compute_dtype)
         return q
     return jax.tree.map(dq, qparams, scales)
+
+
+def decode_variables(qparams: Any, scales: Any,
+                     compute_dtype=jnp.bfloat16) -> Any:
+    """Build the ``model.apply`` variables dict for int8 decoding.
+
+    Two regimes, matched to where the bandwidth is:
+      * **encoder** — runs ONCE per batch; weight reads are amortized over
+        the whole utterance batch, so the XLA dequant-fusion path (which
+        hoists/materializes a bf16 tree) is fine: dequantize up front.
+      * **decoder** — re-read EVERY autoregressive step; kernels stay
+        int8 and the per-channel scales ride the ``qscales`` collection,
+        consumed by ``QuantDenseGeneral`` → the Pallas int8 kernel, which
+        dequantizes on the VMEM tile after the HBM read (unhoistable).
+
+    All non-quantized float leaves are cast to ``compute_dtype`` (same as
+    the bf16 cast the non-int8 path applies at load)."""
+    p, s = qparams["params"], scales["params"]
+
+    def cast_f(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(compute_dtype)
+        return leaf
+
+    enc = jax.tree.map(cast_f,
+                       dequantize_params(p["encoder"], s["encoder"],
+                                         compute_dtype))
+    dec = jax.tree.map(
+        lambda q: q if q.dtype == jnp.int8 else cast_f(q), p["decoder"])
+    params = dict(p, encoder=enc, decoder=dec)
+    return {"params": params, "qscales": {"decoder": s["decoder"]}}
 
 
 def max_abs_error(params: Any, qparams: Any, scales: Any) -> float:

@@ -89,16 +89,23 @@ class Recognizer:
                         model, self.mesh, beam_size=beam_size,
                         max_len=max_len, alpha=alpha)(self.params)
             elif self._int8:
-                from .ops.quantize import dequantize_params
+                # decode_variables: encoder dequantized up front (runs once
+                # per batch), decoder kernels kept int8 + 'qscales'
+                # collection so QuantDenseGeneral dispatches the Pallas
+                # int8 kernel INSIDE the decode scan (the weight stream
+                # HBM serves per step is the int8 bytes — the XLA
+                # dequant-fusion path hoists and serves bf16 instead;
+                # measured, BENCHMARKS.md r4/r5).
+                from .ops.quantize import decode_variables
                 from .train import compute_cast_dtype
                 dt = compute_cast_dtype(self.cfg) or jnp.float32
                 if beam_size == 1:
                     fn = jax.jit(lambda qp, f, l: greedy_decode_jit(
-                        model, dequantize_params(*qp, dt), f, l,
+                        model, decode_variables(*qp, dt), f, l,
                         max_len=max_len))
                 else:
                     fn = jax.jit(lambda qp, f, l: beam_decode(
-                        model, dequantize_params(*qp, dt), f, l,
+                        model, decode_variables(*qp, dt), f, l,
                         beam_size=beam_size, max_len=max_len, alpha=alpha))
             elif beam_size == 1:
                 fn = jax.jit(lambda p, f, l: greedy_decode_jit(

@@ -1,0 +1,267 @@
+"""Int8-weight decode matmul: Pallas kernel golden (interpret mode),
+QuantDenseGeneral ≡ nn.DenseGeneral parity, and the int8 dispatch path.
+
+The kernel exists because the XLA dequant-fusion int8 path is hoisted out
+of the decode scan (measured neutral, BENCHMARKS.md r4) — the Pallas
+kernel dequantizes on the VMEM tile so the per-step HBM weight stream
+stays int8. SURVEY.md §4 kernel-test strategy: pin kernel to jnp
+reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import flax.linen as nn
+
+from speech_tranformer_pytorch_tpu.kernels.int8_matmul import (
+    int8_matmul, int8_matmul_reference)
+from speech_tranformer_pytorch_tpu.kernels.interface import int8_dense
+from speech_tranformer_pytorch_tpu.models.modules import QuantDenseGeneral
+
+
+def _rand_q(rng, m, k, n):
+    kx, kw, ks = jax.random.split(rng, 3)
+    x = jax.random.normal(kx, (m, k), jnp.float32)
+    wq = jax.random.randint(kw, (k, n), -127, 128, jnp.int8)
+    scale = jax.random.uniform(ks, (n,), jnp.float32, 0.001, 0.02)
+    return x, wq, scale
+
+
+class TestInt8MatmulKernel:
+    @pytest.mark.parametrize("m,k,n,block_n", [
+        (16, 128, 256, 128),
+        (80, 512, 1536, 512),    # decode qkv shape (B·K=80, d=512, 3·d)
+        (160, 2048, 512, 512),   # decode ffn w2 shape
+    ])
+    def test_matches_reference(self, m, k, n, block_n):
+        # bf16 activations: the kernel's (production) operand dtype — the
+        # reference then computes the identical bf16-operand math.
+        x, wq, scale = _rand_q(jax.random.PRNGKey(0), m, k, n)
+        x = x.astype(jnp.bfloat16)
+        want = int8_matmul_reference(x, wq, scale)
+        got = int8_matmul(x, wq, scale, block_n=block_n, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_reference_f32_keeps_f32_operands(self):
+        # An f32 model must not get bf16-rounded operands from the
+        # fallback path (compounds per decode step — r5 debugging note).
+        x, wq, scale = _rand_q(jax.random.PRNGKey(9), 8, 128, 128)
+        want = (x @ wq.astype(jnp.float32)) * scale[None, :]
+        got = int8_matmul_reference(x, wq, scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-4)
+
+    def test_bf16_activation(self):
+        x, wq, scale = _rand_q(jax.random.PRNGKey(1), 32, 256, 256)
+        x = x.astype(jnp.bfloat16)
+        want = int8_matmul_reference(x, wq, scale)
+        got = int8_matmul(x, wq, scale, block_n=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_dispatch_falls_back_off_tpu(self):
+        # On the CPU test backend int8_dense must return the reference
+        # values (dispatch predicate false) — including unaligned shapes.
+        x, wq, scale = _rand_q(jax.random.PRNGKey(2), 7, 96, 200)
+        got = int8_dense(x, wq, scale)
+        want = int8_matmul_reference(x, wq, scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+
+class TestQuantDenseGeneralParity:
+    """QuantDenseGeneral must be indistinguishable from nn.DenseGeneral /
+    nn.Dense for float params: same init tree (names, shapes, values from
+    the same rng) and same forward values — checkpoints interchangeable."""
+
+    CASES = [
+        dict(features=(8, 64), axis=-1, in_shape=(2, 5, 512)),
+        dict(features=(3, 8, 64), axis=-1, in_shape=(2, 5, 512)),
+        dict(features=512, axis=(-2, -1), in_shape=(2, 5, 8, 64)),
+    ]
+
+    @pytest.mark.parametrize("case", CASES)
+    def test_init_and_forward_match_densegeneral(self, case):
+        rng = jax.random.PRNGKey(42)
+        x = jax.random.normal(jax.random.PRNGKey(7), case["in_shape"])
+        ref = nn.DenseGeneral(case["features"], axis=case["axis"],
+                              dtype=jnp.float32)
+        new = QuantDenseGeneral(case["features"], axis=case["axis"],
+                                dtype=jnp.float32)
+        vr = ref.init(rng, x)
+        vn = new.init(rng, x)
+        assert jax.tree.structure(vr) == jax.tree.structure(vn)
+        for a, b in zip(jax.tree.leaves(vr), jax.tree.leaves(vn)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(ref.apply(vr, x)),
+                                   np.asarray(new.apply(vn, x)),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_matches_plain_dense(self):
+        rng = jax.random.PRNGKey(3)
+        x = jax.random.normal(jax.random.PRNGKey(4), (4, 96))
+        ref = nn.Dense(200, dtype=jnp.float32)
+        new = QuantDenseGeneral(200, dtype=jnp.float32)
+        vr, vn = ref.init(rng, x), new.init(rng, x)
+        for a, b in zip(jax.tree.leaves(vr), jax.tree.leaves(vn)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(ref.apply(vr, x)),
+                                   np.asarray(new.apply(vn, x)),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_no_bias(self):
+        rng = jax.random.PRNGKey(5)
+        x = jax.random.normal(jax.random.PRNGKey(6), (4, 64))
+        ref = nn.Dense(128, use_bias=False, dtype=jnp.float32)
+        new = QuantDenseGeneral(128, use_bias=False, dtype=jnp.float32)
+        vr, vn = ref.init(rng, x), new.init(rng, x)
+        assert set(vr["params"]) == set(vn["params"]) == {"kernel"}
+        np.testing.assert_allclose(np.asarray(ref.apply(vr, x)),
+                                   np.asarray(new.apply(vn, x)),
+                                   rtol=1e-6, atol=1e-6)
+
+
+class TestQuantDenseGeneralInt8:
+    def _quantized(self, rng=0):
+        x = jax.random.normal(jax.random.PRNGKey(1), (6, 256))
+        mod = QuantDenseGeneral((4, 64), axis=-1, dtype=jnp.float32)
+        v = mod.init(jax.random.PRNGKey(rng), x)
+        w = v["params"]["kernel"]                       # [256, 4, 64]
+        s = jnp.max(jnp.abs(w), axis=(0,), keepdims=True) / 127.0
+        wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        return mod, v, x, wq, s
+
+    def test_int8_subthreshold_falls_through_to_dequant_dense(self):
+        # A 64 KB block is below the kernel-dispatch threshold: the module
+        # must dequantize the weight and run the exact plain-dense path
+        # (the measured-neutral r4 consumption).
+        mod, v, x, wq, s = self._quantized()
+        out = mod.apply(
+            {"params": {"kernel": wq, "bias": v["params"]["bias"]},
+             "qscales": {"kernel": s}}, x)
+        vd = {"params": dict(v["params"],
+                             kernel=wq.astype(jnp.float32) * s)}
+        want = mod.apply(vd, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+        # And it approximates the float layer (quantization error bound).
+        ref = mod.apply(v, x)
+        assert float(jnp.max(jnp.abs(out - ref))) < 0.5
+
+    def test_int8_kernel_path_matches_reference_math(self, monkeypatch):
+        # Force the kernel-dispatch branch (threshold 0); off-TPU it runs
+        # the jnp reference with the kernel's exact math: f32 accumulate,
+        # scale applied to the accumulator.
+        monkeypatch.setenv("ST_TPU_INT8_MIN_WEIGHT_BYTES", "0")
+        mod, v, x, wq, s = self._quantized()
+        out = mod.apply(
+            {"params": {"kernel": wq, "bias": v["params"]["bias"]},
+             "qscales": {"kernel": s}}, x)
+        scale_cols = jnp.broadcast_to(s, (1, 4, 64)).reshape(256)
+        want = int8_matmul_reference(x, wq.reshape(256, 256), scale_cols)
+        want = want.reshape(6, 4, 64) + v["params"]["bias"]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_int8_without_qscales_raises(self):
+        x = jnp.ones((2, 128))
+        mod = QuantDenseGeneral(128, dtype=jnp.float32)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        wq = jnp.zeros_like(v["params"]["kernel"], jnp.int8)
+        with pytest.raises(ValueError, match="qscales"):
+            mod.apply({"params": {"kernel": wq,
+                                  "bias": v["params"]["bias"]}}, x)
+
+
+class TestQuantizeBiases:
+    def test_multidim_biases_never_quantized(self):
+        # Regression (r5): DenseGeneral biases are multi-dim ([3,H,Dh] for
+        # fused qkv) and used to slip past the ndim<2 guard into int8;
+        # the raw-int8 decode path then read them UNSCALED. Random-init
+        # biases are zeros, which hid it — use nonzero biases here.
+        from speech_tranformer_pytorch_tpu.ops.quantize import (
+            dequantize_params, quantize_params)
+        params = {"params": {"decoder": {"layer_0": {"self_attn": {"qkv": {
+            "kernel": jnp.ones((96, 3, 2, 48), jnp.float32) * 0.1,
+            "bias": jnp.full((3, 2, 48), 0.7, jnp.float32),
+        }}}}}}
+        qp, sc = quantize_params(params)
+        q = qp["params"]["decoder"]["layer_0"]["self_attn"]["qkv"]
+        assert q["kernel"].dtype == jnp.int8
+        assert q["bias"].dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(q["bias"]),
+                                      np.float32(0.7))
+        # and the dequant roundtrip leaves the bias untouched
+        deq = dequantize_params(qp, sc, jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(deq["params"]["decoder"]["layer_0"]["self_attn"]
+                       ["qkv"]["bias"]), np.float32(0.7))
+
+
+class TestInt8DecodeStepKernelMath:
+    def test_decode_step_kernel_math_close_to_dequant(self, monkeypatch):
+        # Lane-aligned tiny model + threshold 0: every decoder dense runs
+        # the kernel-branch math (jnp reference of the Pallas kernel on
+        # CPU) through a REAL decode step — the e2e guard that the scale
+        # broadcast/reshape per module shape is right (a mis-mapped scale
+        # is invisible at init where all channels share magnitude).
+        monkeypatch.setenv("ST_TPU_INT8_MIN_WEIGHT_BYTES", "0")
+        from speech_tranformer_pytorch_tpu.config import tiny_config
+        from speech_tranformer_pytorch_tpu.models import SpeechTransformer
+        from speech_tranformer_pytorch_tpu.ops.quantize import (
+            decode_variables, dequantize_params, quantize_params)
+
+        cfg = tiny_config().model.replace(
+            vocab_size=32, d_model=128, num_heads=2, d_ff=256,
+            num_encoder_layers=1, num_decoder_layers=1, dropout_rate=0.0)
+        model = SpeechTransformer(cfg)
+        rng = jax.random.PRNGKey(0)
+        feats = jax.random.normal(rng, (2, 64, cfg.input_dim))
+        fl = jnp.full((2,), 64, jnp.int32)
+        ti = jnp.zeros((2, 4), jnp.int32)
+        params = model.init(rng, feats, fl, ti, jnp.full((2,), 4, jnp.int32))
+        # channel-varying magnitudes so scale misrouting would show
+        params = jax.tree.map(
+            lambda w: w * (1.0 + 0.5 * jnp.cos(jnp.arange(w.shape[-1])))
+            if getattr(w, "ndim", 0) >= 2 else w, params)
+        qp, sc = quantize_params(params)
+        v8 = decode_variables(qp, sc, jnp.float32)
+        vd = dequantize_params(qp, sc, jnp.float32)
+
+        mem, ml = model.apply(vd, feats, fl, method=SpeechTransformer.encode)
+        c8 = model.apply(v8, mem, 6, method=SpeechTransformer.init_cache)
+        cd = model.apply(vd, mem, 6, method=SpeechTransformer.init_cache)
+        toks = jnp.ones((2,), jnp.int32)
+        lg8, _ = model.apply(v8, toks, jnp.int32(0), c8, ml,
+                             method=SpeechTransformer.decode_step)
+        lgd, _ = model.apply(vd, toks, jnp.int32(0), cd, ml,
+                             method=SpeechTransformer.decode_step)
+        # Not bit-equal (scale-after vs scale-before-rounded) but tight.
+        np.testing.assert_allclose(np.asarray(lg8), np.asarray(lgd),
+                                   rtol=0.0, atol=0.05)
+
+
+class TestDecodeVariables:
+    def test_structure_and_dtypes(self):
+        from speech_tranformer_pytorch_tpu.config import tiny_config
+        from speech_tranformer_pytorch_tpu.ops.quantize import (
+            decode_variables, quantize_params)
+        from speech_tranformer_pytorch_tpu.train import init_params
+        from speech_tranformer_pytorch_tpu.data.synthetic import (
+            batch_from_dataset, make_synthetic_dataset)
+
+        cfg = tiny_config()
+        ds = make_synthetic_dataset(2, vocab_size=32, seed=0)
+        example = batch_from_dataset(ds, cfg.features)
+        params = init_params(cfg, jax.random.PRNGKey(0), example)
+        qp, sc = quantize_params(params)
+        var = decode_variables(qp, sc, jnp.float32)
+        # Encoder: fully dequantized (no int8 leaves).
+        for leaf in jax.tree.leaves(var["params"]["encoder"]):
+            assert leaf.dtype != jnp.int8
+        # Decoder: dense kernels stay int8.
+        n_int8 = sum(1 for leaf in jax.tree.leaves(var["params"]["decoder"])
+                     if leaf.dtype == jnp.int8)
+        assert n_int8 > 0
+        assert "qscales" in var and "decoder" in var["qscales"]
