@@ -237,6 +237,15 @@ class DataConfig(_Replace):
     bpe_vocab_size: int = 5000
     max_source_frames: int = 3000      # drop/clip longer utterances
     max_target_len: int = 128
+    adaptive_target_len: bool = True   # pad each batch's targets to the
+                                       # smallest multiple of 16 covering
+                                       # its longest target instead of the
+                                       # max_target_len hard cap — fixed
+                                       # 128-wide padding ran a 128-pos
+                                       # decoder against ~15-30-token
+                                       # speech targets, ~20% of the base
+                                       # train step (r5 measurement;
+                                       # pipeline.target_width_for_rows)
     bucket_boundaries: Tuple[int, ...] = (200, 400, 600, 800, 1000, 1400, 2000, 3000)
     num_workers: int = 2
     audio_dtype: str = "int16"         # dtype batches carry raw PCM in:
@@ -264,6 +273,16 @@ class DecodeConfig(_Replace):
                                        # on decode-shaped chains
                                        # (BENCHMARKS.md r4). Single-device
                                        # serving path; training unaffected
+    int8_kv_cache: bool = False        # store the beam-invariant CROSS
+                                       # K/V cache int8 (per-(B,H,D)
+                                       # scales over the frame axis) — at
+                                       # base B=16 the cross cache is the
+                                       # single largest per-step decode
+                                       # HBM stream (~49 MB); the in-scan
+                                       # dequant fuses into the attention
+                                       # dots' operand reads so HBM
+                                       # serves int8 (BENCHMARKS.md r5).
+                                       # Single-device serving path
 
 
 @dataclasses.dataclass(frozen=True)

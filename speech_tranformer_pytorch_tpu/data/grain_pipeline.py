@@ -40,7 +40,8 @@ import numpy as np
 
 import grain.python as gp
 
-from .pipeline import AudioBatch, ManifestDataset, plan_epoch
+from .pipeline import (AudioBatch, ManifestDataset, plan_epoch,
+                       target_width_for_rows)
 from .prepare import read_audio
 from .tokenizer import EOS, PAD, SOS
 
@@ -99,8 +100,10 @@ class GrainBucketedPipeline:
         drop_remainder: bool = True,
         shuffle: bool = True,
         max_frames_per_batch: int = 0,
+        adaptive_target_len: bool = True,
     ):
         self.ds = ds
+        self.adaptive_target_len = adaptive_target_len
         self.batch_size = batch_size
         self.boundaries = list(bucket_boundaries)
         if max_frames_per_batch > 0:
@@ -126,7 +129,7 @@ class GrainBucketedPipeline:
             drop_remainder=self.drop_remainder)
 
     def _assemble(self, items: List[dict], bucket: int,
-                  pad_to_batch: bool) -> AudioBatch:
+                  pad_to_batch: bool, width: int) -> AudioBatch:
         import jax.numpy as jnp
 
         fcfg = self.ds.fcfg
@@ -138,15 +141,15 @@ class GrainBucketedPipeline:
                == "int16" else np.float32)
         audio = np.zeros((bsz, max_samples), adt)
         slens = np.zeros((bsz,), np.int32)
-        tin = np.full((bsz, self.target_len), PAD, np.int32)
-        tout = np.full((bsz, self.target_len), PAD, np.int32)
+        tin = np.full((bsz, width), PAD, np.int32)
+        tout = np.full((bsz, width), PAD, np.int32)
         tlens = np.zeros((bsz,), np.int32)
         valid = np.zeros((bsz,), bool)
         for row, it in enumerate(items):
             n = min(len(it["audio"]), max_samples)
             audio[row, :n] = it["audio"][:n]
             slens[row] = n
-            toks = it["tokens"][: self.target_len - 1]
+            toks = it["tokens"][: width - 1]
             tin[row, 0] = SOS
             tin[row, 1:1 + len(toks)] = toks
             tout[row, :len(toks)] = toks
@@ -179,4 +182,9 @@ class GrainBucketedPipeline:
         it = self._grain_iter(seq)
         for p, rows in zip(plans, host_rows):
             items = [next(it) for _ in rows]
-            yield self._assemble(items, p.bucket, p.pad_to_batch)
+            # Width from the GLOBAL rows (host-invariant static shape) —
+            # see pipeline.target_width_for_rows.
+            width = target_width_for_rows(
+                self.ds, p.global_idxs, self.target_len,
+                adaptive=self.adaptive_target_len)
+            yield self._assemble(items, p.bucket, p.pad_to_batch, width)

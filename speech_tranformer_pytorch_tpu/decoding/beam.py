@@ -78,6 +78,7 @@ def beam_search(
     pad_id: int = PAD,
     early_stop: bool = True,
     use_lineage: bool = True,
+    int8_kv: bool = False,
 ) -> BeamResult:
     b = memory.shape[0]
     k = beam_size
@@ -85,7 +86,7 @@ def beam_search(
     # Cross K/V are beam-invariant: the cache keeps them untiled [B,S,H,D]
     # and decode_step folds the K beams into cross-attention query rows
     # (models/decoder.py) — only the self-attention cache is per-beam.
-    cache = model.apply(params, memory, max_len, k,
+    cache = model.apply(params, memory, max_len, k, int8_kv,
                         method=SpeechTransformer.init_cache)
 
     # Alive state. Only beam 0 live at step 0 (all beams identical).
@@ -241,13 +242,15 @@ def beam_decode(
     alpha: float = 1.0,
     early_stop: bool = True,
     use_lineage: bool = True,
+    int8_kv: bool = False,
 ) -> BeamResult:
     """encode + beam search as one jittable program."""
     memory, mem_lens = model.apply(params, feats, frame_lens,
                                    method=SpeechTransformer.encode)
     return beam_search(model, params, memory, mem_lens,
                        beam_size=beam_size, max_len=max_len, alpha=alpha,
-                       early_stop=early_stop, use_lineage=use_lineage)
+                       early_stop=early_stop, use_lineage=use_lineage,
+                       int8_kv=int8_kv)
 
 
 def best_hypotheses(result: BeamResult):

@@ -29,6 +29,7 @@ def greedy_decode(
     eos_id: int = EOS,
     pad_id: int = PAD,
     early_stop: bool = True,
+    int8_kv: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B, max_len] incl. eos, lengths [B] excl. eos).
 
@@ -44,7 +45,7 @@ def greedy_decode(
     trip count helps AOT).
     """
     b = memory.shape[0]
-    cache = model.apply(params, memory, max_len,
+    cache = model.apply(params, memory, max_len, 1, int8_kv,
                         method=SpeechTransformer.init_cache)
 
     def step(carry, i):
@@ -84,12 +85,12 @@ def greedy_decode(
 
 
 def greedy_decode_jit(model, params, feats, frame_lens, *, max_len: int,
-                      early_stop: bool = True):
+                      early_stop: bool = True, int8_kv: bool = False):
     """encode + greedy decode as one jittable program."""
     memory, mem_lens = model.apply(params, feats, frame_lens,
                                    method=SpeechTransformer.encode)
     return greedy_decode(model, params, memory, mem_lens, max_len=max_len,
-                         early_stop=early_stop)
+                         early_stop=early_stop, int8_kv=int8_kv)
 
 
 def tokens_to_lists(tokens, lengths):

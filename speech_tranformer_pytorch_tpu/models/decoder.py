@@ -107,18 +107,39 @@ class DecoderLayer(nn.Module):
 
     # ----- step decoding ---------------------------------------------------
 
-    def init_layer_cache(self, memory: jnp.ndarray, batch: int, max_len: int) -> Cache:
+    def init_layer_cache(self, memory: jnp.ndarray, batch: int, max_len: int,
+                         int8_kv: bool = False) -> Cache:
         """``memory`` is UNtiled [B,S,d]; ``batch`` is the step batch B·K.
         Caches come out head-major (module docstring): the one-time
         transpose here buys relayout-free attention dots in every decode
-        step."""
+        step.
+
+        ``int8_kv`` stores cross K/V as int8 with per-(B,H,1,D) f32
+        scales (symmetric, reduced over the frame axis). The cross cache
+        is write-once/read-every-step and the single largest per-step
+        decode HBM stream at base shapes (~49 MB at B=16 — module
+        docstring); the per-step dequant in ``decode_step`` sits inside
+        the scan body so XLA fuses it into the attention dots' operand
+        reads and HBM serves the int8 bytes (the same fusion behavior
+        measured for int8 weights, BENCHMARKS.md r5)."""
         cfg = self.cfg
         h, d = cfg.num_heads, cfg.d_model // cfg.num_heads
         ck, cv = self.cross_attn.project_kv(memory)           # [B,S,H,D]
         zeros = jnp.zeros((batch, max_len, h, d), self.dtype)
-        return {"self_k": zeros, "self_v": jnp.zeros_like(zeros),
-                "cross_k": ck.transpose(0, 2, 1, 3),          # [B,H,S,D]
-                "cross_v": cv.transpose(0, 2, 1, 3)}
+        cache = {"self_k": zeros, "self_v": jnp.zeros_like(zeros),
+                 "cross_k": ck.transpose(0, 2, 1, 3),         # [B,H,S,D]
+                 "cross_v": cv.transpose(0, 2, 1, 3)}
+        if int8_kv:
+            def q(t):
+                s = (jnp.max(jnp.abs(t.astype(jnp.float32)), axis=2,
+                             keepdims=True) / 127.0)
+                s = jnp.where(s == 0.0, 1.0, s)
+                tq = jnp.clip(jnp.round(t.astype(jnp.float32) / s),
+                              -127, 127).astype(jnp.int8)
+                return tq, s.astype(jnp.float32)
+            cache["cross_k"], cache["cross_k_scale"] = q(cache["cross_k"])
+            cache["cross_v"], cache["cross_v_scale"] = q(cache["cross_v"])
+        return cache
 
     def decode_step(
         self,
@@ -155,9 +176,16 @@ class DecoderLayer(nn.Module):
             # utterance per step instead of once per beam.
             bk, _, d = h.shape
             b = bk // beam_width
+            ck, cv = cache["cross_k"], cache["cross_v"]
+            if ck.dtype == jnp.int8:
+                # In-scan dequant: fuses into the attention dots' operand
+                # reads, so HBM serves the int8 cache bytes per step (see
+                # init_layer_cache).
+                dt = self.dtype
+                ck = ck.astype(dt) * cache["cross_k_scale"].astype(dt)
+                cv = cv.astype(dt) * cache["cross_v_scale"].astype(dt)
             out = self.cross_attn.attend_bhsd(
-                h.reshape(b, beam_width, d),
-                cache["cross_k"], cache["cross_v"], cross_bias)
+                h.reshape(b, beam_width, d), ck, cv, cross_bias)
             return out.reshape(bk, 1, d)
 
         if self.cfg.normalize_before:
@@ -294,15 +322,17 @@ class Decoder(nn.Module):
     # ----- step decoding ---------------------------------------------------
 
     def init_cache(self, memory: jnp.ndarray, max_len: int,
-                   beam_width: int = 1) -> Cache:
+                   beam_width: int = 1, int8_kv: bool = False) -> Cache:
         """Build the KV-cache pytree. ``memory`` is UNtiled [B,S,d]; the
         self-attention cache gets B·beam_width rows, the cross K/V stay
-        beam-invariant at [B,S,H,D] (see module docstring)."""
+        beam-invariant at [B,S,H,D] (see module docstring). ``int8_kv``:
+        int8 cross cache (see ``DecoderLayer.init_layer_cache``)."""
         b = memory.shape[0] * beam_width
         mem = memory.astype(self.compute_dtype)
         cache: Cache = {}
         for i, layer in enumerate(self.layers):
-            cache[f"layer_{i}"] = layer.init_layer_cache(mem, b, max_len)
+            cache[f"layer_{i}"] = layer.init_layer_cache(mem, b, max_len,
+                                                         int8_kv)
         return cache
 
     def decode_step(

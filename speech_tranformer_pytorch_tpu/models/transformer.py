@@ -56,8 +56,8 @@ class SpeechTransformer(nn.Module):
         return self.encoder(feats, frame_lens, deterministic=deterministic)
 
     def init_cache(self, memory: jnp.ndarray, max_len: int,
-                   beam_width: int = 1) -> Cache:
-        return self.decoder.init_cache(memory, max_len, beam_width)
+                   beam_width: int = 1, int8_kv: bool = False) -> Cache:
+        return self.decoder.init_cache(memory, max_len, beam_width, int8_kv)
 
     def decode_step(self, tokens, index, cache, mem_lens, beam_width: int = 1,
                     lineage=None):

@@ -51,11 +51,13 @@ class Recognizer:
         # measured win in BENCHMARKS.md r4). self.params becomes the
         # (qparams, scales) pair; _beam_fn builds matching signatures.
         self._int8 = bool(getattr(cfg.decode, "int8_weights", False))
+        self._int8_kv = bool(getattr(cfg.decode, "int8_kv_cache", False))
+        if (self._int8 or self._int8_kv) and mesh is not None:
+            raise ValueError(
+                "decode.int8_weights / decode.int8_kv_cache are "
+                "single-device serving only (v1): disable them for "
+                "mesh/distributed decode")
         if self._int8:
-            if mesh is not None:
-                raise ValueError(
-                    "decode.int8_weights is single-device serving only "
-                    "(v1): disable it for mesh/distributed decode")
             from .ops.quantize import quantize_params
             # Quantize from the f32 checkpoint values (params were cast to
             # bf16 above — re-deriving scales from bf16 would double-round).
@@ -99,21 +101,24 @@ class Recognizer:
                 from .ops.quantize import decode_variables
                 from .train import compute_cast_dtype
                 dt = compute_cast_dtype(self.cfg) or jnp.float32
+                kv = self._int8_kv
                 if beam_size == 1:
                     fn = jax.jit(lambda qp, f, l: greedy_decode_jit(
                         model, decode_variables(*qp, dt), f, l,
-                        max_len=max_len))
+                        max_len=max_len, int8_kv=kv))
                 else:
                     fn = jax.jit(lambda qp, f, l: beam_decode(
                         model, decode_variables(*qp, dt), f, l,
-                        beam_size=beam_size, max_len=max_len, alpha=alpha))
+                        beam_size=beam_size, max_len=max_len, alpha=alpha,
+                        int8_kv=kv))
             elif beam_size == 1:
                 fn = jax.jit(lambda p, f, l: greedy_decode_jit(
-                    model, p, f, l, max_len=max_len))
+                    model, p, f, l, max_len=max_len,
+                    int8_kv=self._int8_kv))
             else:
                 fn = jax.jit(lambda p, f, l: beam_decode(
                     model, p, f, l, beam_size=beam_size, max_len=max_len,
-                    alpha=alpha))
+                    alpha=alpha, int8_kv=self._int8_kv))
             self._beam_fns[key] = fn
         return self._beam_fns[key]
 
@@ -229,7 +234,8 @@ class Recognizer:
                            self.cfg.model.max_target_positions),
             shuffle=False, drop_remainder=False,
             shard_index=shard_index, num_shards=num_shards,
-            max_frames_per_batch=max_frames_per_batch)
+            max_frames_per_batch=max_frames_per_batch,
+            adaptive_target_len=self.cfg.data.adaptive_target_len)
         if self.mesh is not None:
             # The 'data' axis must divide every GLOBAL batch's row count
             # (per-host rows × num_shards); round each bucket's per-host

@@ -42,6 +42,10 @@ def main(argv=None):
                          "kernels stored int8 + per-channel scales, dequant "
                          "fused into the matmul reads — decode is weight-"
                          "bandwidth-bound (BENCHMARKS.md r4); single-device")
+    ap.add_argument("--int8-kv", action="store_true",
+                    help="int8 cross-KV decode cache (decode.int8_kv_cache): "
+                         "the largest per-step decode HBM stream served as "
+                         "int8 (BENCHMARKS.md r5); single-device")
     ap.add_argument("--mesh", choices=("auto", "on", "off"), default="auto",
                     help="'auto': sharded decode over a ('data','model') "
                          "mesh when mesh.model_axis>1 (TP-trained "
@@ -80,6 +84,8 @@ def main(argv=None):
         cfg = resolve_config(args)
     if args.int8:
         cfg = cfg.replace(decode=cfg.decode.replace(int8_weights=True))
+    if args.int8_kv:
+        cfg = cfg.replace(decode=cfg.decode.replace(int8_kv_cache=True))
     manifest = args.manifest or os.path.join(args.data_dir,
                                              f"{args.split}.jsonl")
     mesh = None

@@ -118,7 +118,8 @@ class Trainer:
                 num_workers=cfg.data.num_workers,
                 drop_remainder=True,
                 max_frames_per_batch=(t.max_frames_per_batch // num_shards
-                                      if t.max_frames_per_batch else 0))
+                                      if t.max_frames_per_batch else 0),
+                adaptive_target_len=cfg.data.adaptive_target_len)
         else:
             self.batcher = BucketedBatcher(
                 self.train_ds, batch_size=per_host_batch,
@@ -127,14 +128,16 @@ class Trainer:
                 shard_index=shard_index, num_shards=num_shards,
                 drop_remainder=True,
                 max_frames_per_batch=(t.max_frames_per_batch // num_shards
-                                      if t.max_frames_per_batch else 0))
+                                      if t.max_frames_per_batch else 0),
+                adaptive_target_len=cfg.data.adaptive_target_len)
         if self.dev_ds is not None:
             self.dev_batcher = BucketedBatcher(
                 self.dev_ds, batch_size=per_host_batch,
                 bucket_boundaries=cfg.data.bucket_boundaries,
                 target_len=target_len, seed=0,
                 shard_index=shard_index, num_shards=num_shards,
-                drop_remainder=False, shuffle=False)
+                drop_remainder=False, shuffle=False,
+                adaptive_target_len=cfg.data.adaptive_target_len)
 
         if self.mesh is not None:
             # Every global batch's row count must divide the mesh's 'data'

@@ -868,3 +868,66 @@ class TestLibrispeechDownload:
         again = download_librispeech(str(dest), ["dev-clean"],
                                      url_base="file:///nonexistent")
         assert again == root
+
+
+class TestAdaptiveTargetLen:
+    """Per-batch adaptive target padding (pipeline.target_width_for_rows):
+    fixed max_target_len padding ran a 128-position decoder against
+    ~15-30-token targets — 20% of the base train step (BENCHMARKS.md r5)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("adaptcorpus"))
+        return prepare_synthetic(out, num_train=12, num_dev=0, num_test=0,
+                                 vocab_size=16, seed=1)
+
+    def test_width_rounding_and_cap(self, corpus):
+        from speech_tranformer_pytorch_tpu.data.pipeline import (
+            target_width_for_rows)
+        ds = ManifestDataset(corpus["train"], DataConfig(max_target_len=128),
+                             FeatureConfig())
+        idxs = list(range(len(ds)))
+        w = target_width_for_rows(ds, idxs, 128)
+        need = max(len(ds.entries[i]["tokens"]) for i in idxs) + 1
+        assert w == -(-need // 16) * 16
+        assert w % 16 == 0 and w <= 128
+        # cap: small target_len keeps legacy fixed padding (test shapes)
+        assert target_width_for_rows(ds, idxs, 8) == 8
+        assert target_width_for_rows(ds, idxs, 16) == 16
+        # opt-out
+        assert target_width_for_rows(ds, idxs, 128, adaptive=False) == 128
+
+    def test_batches_use_adaptive_width_and_content_matches(self, corpus):
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(), fcfg)
+        kw = dict(batch_size=4, bucket_boundaries=(50, 100, 200), seed=0,
+                  drop_remainder=False, shuffle=False)
+        legacy = BucketedBatcher(ds, target_len=128,
+                                 adaptive_target_len=False, **kw)
+        adapt = BucketedBatcher(ds, target_len=128, **kw)
+        for bl, ba in zip(legacy.epoch(0), adapt.epoch(0)):
+            wa = ba.targets_in.shape[1]
+            assert wa % 16 == 0 and wa <= 128
+            assert bl.targets_in.shape[1] == 128
+            # identical content: adaptive is a pure truncation of the pad
+            np.testing.assert_array_equal(np.asarray(bl.targets_in)[:, :wa],
+                                          np.asarray(ba.targets_in))
+            assert np.asarray(bl.targets_in)[:, wa:].max(initial=0) == 0
+            np.testing.assert_array_equal(np.asarray(bl.target_lens),
+                                          np.asarray(ba.target_lens))
+            np.testing.assert_array_equal(np.asarray(bl.audio),
+                                          np.asarray(ba.audio))
+
+    def test_grain_matches_python_pipeline_width(self, corpus):
+        from speech_tranformer_pytorch_tpu.data.grain_pipeline import (
+            GrainBucketedPipeline)
+        fcfg = FeatureConfig()
+        ds = ManifestDataset(corpus["train"], DataConfig(), fcfg)
+        kw = dict(batch_size=4, bucket_boundaries=(50, 100, 200),
+                  target_len=128, seed=0, drop_remainder=False, shuffle=False)
+        py = BucketedBatcher(ds, **kw)
+        gr = GrainBucketedPipeline(ds, **kw)
+        for bp, bg in zip(py.epoch(0), gr.epoch(0)):
+            assert bp.targets_in.shape == bg.targets_in.shape
+            np.testing.assert_array_equal(np.asarray(bp.targets_in),
+                                          np.asarray(bg.targets_in))

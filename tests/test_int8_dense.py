@@ -265,3 +265,71 @@ class TestDecodeVariables:
                      if leaf.dtype == jnp.int8)
         assert n_int8 > 0
         assert "qscales" in var and "decoder" in var["qscales"]
+
+
+class TestInt8KVCache:
+    """decode.int8_kv_cache: int8 cross-KV decode cache with per-(B,H,1,D)
+    scales (models/decoder.py::init_layer_cache). The cross cache is the
+    single largest per-step decode HBM stream at base shapes."""
+
+    def _setup(self):
+        from speech_tranformer_pytorch_tpu.config import tiny_config
+        from speech_tranformer_pytorch_tpu.models import SpeechTransformer
+        cfg = tiny_config().model.replace(
+            vocab_size=32, d_model=64, num_heads=2, d_ff=128,
+            num_encoder_layers=1, num_decoder_layers=1, dropout_rate=0.0)
+        model = SpeechTransformer(cfg)
+        rng = jax.random.PRNGKey(0)
+        feats = jax.random.normal(rng, (2, 64, cfg.input_dim))
+        fl = jnp.full((2,), 64, jnp.int32)
+        params = model.init(rng, feats, fl, jnp.zeros((2, 4), jnp.int32),
+                            jnp.full((2,), 4, jnp.int32))
+        return model, params, feats, fl
+
+    def test_cache_dtype_and_roundtrip_bound(self):
+        from speech_tranformer_pytorch_tpu.models import SpeechTransformer
+        model, params, feats, fl = self._setup()
+        mem, ml = model.apply(params, feats, fl,
+                              method=SpeechTransformer.encode)
+        c = model.apply(params, mem, 6, 1, True,
+                        method=SpeechTransformer.init_cache)
+        cf = model.apply(params, mem, 6, 1, False,
+                        method=SpeechTransformer.init_cache)
+        layer = c["layer_0"]
+        assert layer["cross_k"].dtype == jnp.int8
+        assert layer["cross_k_scale"].shape == (2, 2, 1, 32)
+        # |x - dq(x)| <= s/2 per channel
+        dq = (layer["cross_k"].astype(jnp.float32)
+              * layer["cross_k_scale"])
+        err = jnp.abs(dq - cf["layer_0"]["cross_k"].astype(jnp.float32))
+        assert bool(jnp.all(err <= layer["cross_k_scale"] / 2 + 1e-6))
+        # self cache unquantized (per-step writes)
+        assert layer["self_k"].dtype != jnp.int8
+
+    def test_greedy_decode_close_to_full_precision(self):
+        from speech_tranformer_pytorch_tpu.decoding import greedy_decode_jit
+        model, params, feats, fl = self._setup()
+        t0, l0 = jax.jit(lambda p, f, l: greedy_decode_jit(
+            model, p, f, l, max_len=6))(params, feats, fl)
+        t1, l1 = jax.jit(lambda p, f, l: greedy_decode_jit(
+            model, p, f, l, max_len=6, int8_kv=True))(params, feats, fl)
+        # random model: token-level agreement not guaranteed, but the
+        # decode must run and produce the same shapes; logits closeness is
+        # asserted below at the step level
+        assert t1.shape == t0.shape and l1.shape == l0.shape
+
+    def test_decode_step_logits_close(self):
+        from speech_tranformer_pytorch_tpu.models import SpeechTransformer
+        model, params, feats, fl = self._setup()
+        mem, ml = model.apply(params, feats, fl,
+                              method=SpeechTransformer.encode)
+        toks = jnp.ones((2,), jnp.int32)
+        lg = {}
+        for kv in (False, True):
+            c = model.apply(params, mem, 6, 1, kv,
+                            method=SpeechTransformer.init_cache)
+            lg[kv], _ = model.apply(params, toks, jnp.int32(0), c, ml,
+                                    method=SpeechTransformer.decode_step)
+        np.testing.assert_allclose(np.asarray(lg[True]),
+                                   np.asarray(lg[False]),
+                                   rtol=0.0, atol=0.15)

@@ -23,12 +23,12 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-TRAIN_AUDIO_SPS_FLOOR = 17500.0   # measured 19.9k with the bf16-moment
-                                  # default (r4), 19.4-19.5k the two
-                                  # rounds before; 12% jitter margin —
-                                  # the old 15k floor left a 23% blind
-                                  # spot where a real single-digit
-                                  # regression could hide in tunnel noise
+TRAIN_AUDIO_SPS_FLOOR = 18000.0   # measured 19.9-20.2k (r4 driver bench)
+                                  # and 19.6-19.8k across five r5 runs;
+                                  # ~9% jitter margin per VERDICT r4 #8
+                                  # (raise after one more stable round
+                                  # >= 19.9k — held). 17.5k the round
+                                  # before, 15k before that.
 BEAM5_RTF_CEILING = 0.00018       # measured 0.000148 at B=16, max_len=50
                                   # (2026-08-20, candidate-topk kernel +
                                   # head-major cross cache); 1.22x headroom.
@@ -131,6 +131,34 @@ def test_greedy_rtf_ceiling():
     assert rtf < GREEDY_RTF_CEILING, (
         f"greedy decode regressed: RTF {rtf:.6f} > ceiling "
         f"{GREEDY_RTF_CEILING} (BENCHMARKS.md measured 0.000095)")
+
+
+@requires_tpu
+def test_int8_matmul_compiled_matches_reference():
+    """TPU-COMPILED (Mosaic) equality of the int8-weight decode matmul vs
+    its jnp reference at the shapes the d2048 serving decode dispatches
+    (k·n >= the 2 MB threshold) plus one base-shape block. Exact on-chip
+    (rel-err 0.0 measured r5); calling int8_matmul directly turns a
+    Mosaic compile failure into a test failure instead of a silent
+    fallback."""
+    import numpy as np
+
+    from speech_tranformer_pytorch_tpu.kernels.int8_matmul import (
+        int8_matmul, int8_matmul_reference)
+
+    rng = np.random.default_rng(0)
+    for m, k, n, bn in ((48, 2048, 6144, 512),    # d2048 fused qkv
+                        (48, 8192, 2048, 512),    # d2048 ffn w2
+                        (80, 512, 1536, 512)):    # base fused qkv
+        x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        wq = jnp.asarray(rng.integers(-127, 128, (k, n)).astype(np.int8))
+        s = jnp.asarray(rng.uniform(1e-3, 2e-2, n).astype(np.float32))
+        got = np.asarray(int8_matmul(x, wq, s, block_n=bn,
+                                     out_dtype=jnp.float32))
+        want = np.asarray(int8_matmul_reference(x, wq, s))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5,
+                                   err_msg=f"shape {(m, k, n)}")
 
 
 @requires_tpu

@@ -67,16 +67,29 @@ def bench(b, frames=1000, beam=5, max_len=50):
     if beam == 1:
         base = jax.jit(functools.partial(greedy_decode_jit, model,
                                          max_len=max_len, early_stop=False))
+        kv = jax.jit(functools.partial(greedy_decode_jit, model,
+                                       max_len=max_len, early_stop=False,
+                                       int8_kv=True))
         i8 = jax.jit(lambda q, f, l: greedy_decode_jit(
             model, decode_variables(*q, jnp.bfloat16), f, l,
             max_len=max_len, early_stop=False))
+        both = jax.jit(lambda q, f, l: greedy_decode_jit(
+            model, decode_variables(*q, jnp.bfloat16), f, l,
+            max_len=max_len, early_stop=False, int8_kv=True))
     else:
         base = jax.jit(functools.partial(
             beam_decode, model, beam_size=beam, max_len=max_len,
             early_stop=False))
+        kv = jax.jit(functools.partial(
+            beam_decode, model, beam_size=beam, max_len=max_len,
+            early_stop=False, int8_kv=True))
         i8 = jax.jit(lambda q, f, l: beam_decode(
             model, decode_variables(*q, jnp.bfloat16), f, l,
             beam_size=beam, max_len=max_len, early_stop=False))
+        both = jax.jit(lambda q, f, l: beam_decode(
+            model, decode_variables(*q, jnp.bfloat16), f, l,
+            beam_size=beam, max_len=max_len, early_stop=False,
+            int8_kv=True))
 
     def run(tag, fn, p):
         r = fn(p, feats, fl)
@@ -91,12 +104,17 @@ def bench(b, frames=1000, beam=5, max_len=50):
               f"RTF {dt / 1000 / audio:.6f}")
         return dt, r
 
-    d0, r0 = run("bf16      ", base, p16)
-    d1, r1 = run("int8-pallas", i8, qp)
+    d0, r0 = run("bf16       ", base, p16)
+    d1, r1 = run("int8-weights", i8, qp)
+    dk, rk = run("int8-kv     ", kv, p16)
+    db, rb = run("int8-both   ", both, qp)
     t0 = np.asarray(jax.tree.leaves(r0)[0])
     t1 = np.asarray(jax.tree.leaves(r1)[0])
-    agree = float(np.mean(t0 == t1))
-    print(f"  speedup {d0 / d1:.3f}x   token agreement {agree:.4f}")
+    tk = np.asarray(jax.tree.leaves(rk)[0])
+    tb = np.asarray(jax.tree.leaves(rb)[0])
+    print(f"  weights {d0 / d1:.3f}x  kv {d0 / dk:.3f}x  "
+          f"both {d0 / db:.3f}x   agreement w={np.mean(t0 == t1):.3f} "
+          f"kv={np.mean(t0 == tk):.3f} both={np.mean(t0 == tb):.3f}")
 
 
 if "d2048" in sys.argv:

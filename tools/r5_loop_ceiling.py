@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--pool", type=int, default=4)
     ap.add_argument("--preset", default="base")
     ap.add_argument("--skip-bench", action="store_true")
+    ap.add_argument("--bare", action="store_true",
+                    help="bare step_fn dispatch loop, no Trainer machinery")
+    ap.add_argument("--target-len", type=int, default=31)
     args = ap.parse_args()
 
     import bench
@@ -75,7 +78,13 @@ def main():
             batch_size=args.batch, num_epochs=10_000,
             log_every=args.log_every, checkpoint_every_steps=10_000_000,
             eval_every_steps=0),
-        data=cfg.data.replace(train_manifest=manifest, dev_manifest=""))
+        # max_target_len pins the batcher's target pad: the default 128
+        # makes every Trainer batch run a 128-position decoder against
+        # bench's 30-token targets — a 4x decoder-compute mismatch that
+        # masquerades as "loop overhead" (r5 finding). 31 = bench's 30
+        # tokens + sos.
+        data=cfg.data.replace(train_manifest=manifest, dev_manifest="",
+                              max_target_len=args.target_len))
 
     work = os.path.join(root, "work")
     tr = Trainer(cfg, work_dir=work, mesh=None)
@@ -90,6 +99,37 @@ def main():
             break
     jax.block_until_ready([b.audio for b in pool])
     tr.batcher = DevicePoolBatcher(pool, batches_per_epoch=args.steps + 10)
+
+    if args.bare:
+        # Bare dispatch loop: the same step_fn on the same device-resident
+        # pool with ZERO Trainer machinery (no prefetch thread, no logging,
+        # no pending-metrics list) — separates runner.py overhead from the
+        # inherent per-dispatch cost of the audio step over this backend.
+        import time
+        state, rng = tr.state, tr.rng
+        for i in range(6):                       # warmup + compile
+            state, m = tr.step_fn(state, pool[i % len(pool)], rng)
+        jax.block_until_ready(m["loss"])
+        float(jax.device_get(m["loss"]))
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            state, m = tr.step_fn(state, pool[i % len(pool)], rng)
+        float(jax.device_get(m["loss"]))        # full sync (tunnel-safe)
+        dt = time.perf_counter() - t0
+        audio = args.steps * args.batch * args.seconds
+        out = {"bare_loop_sps": round(audio / dt, 2),
+               "bare_ms_per_step": round(dt / args.steps * 1e3, 2),
+               "steps": args.steps, "batch": args.batch,
+               "backend": jax.default_backend()}
+        if not args.skip_bench:
+            bench_sps, _, _ = bench.run_train_bench(
+                cfg, batch_size=args.batch, seconds_per_utt=args.seconds,
+                steps=30, warmup=6)
+            out["bench_audio_sps"] = round(bench_sps, 2)
+            out["bare_over_bench"] = round(out["bare_loop_sps"] / bench_sps,
+                                           4)
+        print(json.dumps(out))
+        return
 
     tr.train(max_steps=args.steps)
 
