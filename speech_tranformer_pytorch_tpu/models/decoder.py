@@ -281,16 +281,42 @@ class Decoder(nn.Module):
                 cfg.vocab_size, use_bias=False, dtype=self.compute_dtype,
                 name="out_proj")
 
+    def _embedding_table(self) -> jnp.ndarray:
+        """The (possibly int8) embedding as a compute-dtype [V, d] table.
+
+        Int8 path (``quantize_params(embedding_rows=True)``): the dequant
+        expression sits inside whatever program consumes it — inside the
+        decode scan XLA fuses the ``int8 -> dtype * row_scale`` chain into
+        the logits dot's operand read, so HBM serves the int8 bytes per
+        step (the same fusion behavior measured for the int8 dense
+        fall-through, BENCHMARKS.md r5). nn.Embed's own __call__ would
+        silently ``astype`` the raw int8 values — never call it when the
+        table may be quantized."""
+        emb = self.embed.embedding
+        if emb.dtype == jnp.int8:
+            s = self.embed.get_variable("qscales", "embedding")   # [V, 1]
+            return emb.astype(self.compute_dtype) * s.astype(
+                self.compute_dtype)
+        return emb.astype(self.compute_dtype)
+
     def _logits(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.cfg.share_embedding:
-            emb = self.embed.embedding.astype(self.compute_dtype)  # [V, d]
+            emb = self._embedding_table()                         # [V, d]
             return jnp.einsum("bud,vd->buv", x, emb,
                               preferred_element_type=jnp.float32)
         return self.out_proj(x).astype(jnp.float32)
 
     def _embed_scaled(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        return self.embed(tokens) * jnp.asarray(
-            self.cfg.d_model ** 0.5, self.compute_dtype)
+        emb = self.embed.embedding
+        if emb.dtype == jnp.int8:
+            # Row gather + row-scale dequant (tiny: B·K rows per step).
+            s = self.embed.get_variable("qscales", "embedding")
+            dt = self.compute_dtype
+            rows = jnp.take(emb, tokens, axis=0).astype(dt)
+            out = rows * jnp.take(s, tokens, axis=0).astype(dt)
+        else:
+            out = self.embed(tokens)
+        return out * jnp.asarray(self.cfg.d_model ** 0.5, self.compute_dtype)
 
     def __call__(
         self,

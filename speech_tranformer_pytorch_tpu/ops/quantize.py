@@ -54,7 +54,8 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def quantize_params(params: Any) -> Tuple[Any, Any]:
+def quantize_params(params: Any, *,
+                    embedding_rows: bool = False) -> Tuple[Any, Any]:
     """Returns ``(qparams, scales)`` — two trees with the SAME structure as
     ``params``. Quantized leaves: int8 values + f32 scale (broadcastable,
     shape ``(1, ..., out)``); full-precision leaves: the leaf itself in
@@ -62,9 +63,24 @@ def quantize_params(params: Any) -> Tuple[Any, Any]:
 
     ``scales`` uses a 0-d f32 NaN sentinel for non-quantized leaves so the
     tree stays jit-traceable (no Nones inside pytree leaves).
+
+    ``embedding_rows``: also quantize the decoder embedding with PER-ROW
+    scales (shape [V, 1], reduced over d_model). Per-row is the one
+    orientation that serves BOTH of the tied embedding's uses — the
+    per-token gather dequantizes row-wise, and in the logits matmul
+    ``x @ emb.T`` the rows are the output channels (per-vocab-logit
+    scale). At base the shared embedding is the logits matmul's whole
+    weight stream (~4.4 MB bf16/step); int8 halves it.
     """
     def q(path, leaf):
-        if not _is_quantizable(_path_str(path), leaf):
+        ps = _path_str(path)
+        if ps.endswith("embed/embedding") and embedding_rows:
+            w = jnp.asarray(leaf, jnp.float32)
+            s = jnp.max(jnp.abs(w), axis=-1, keepdims=True) / 127.0  # [V,1]
+            s = jnp.where(s == 0.0, 1.0, s)
+            wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+            return wq, s.astype(jnp.float32)
+        if not _is_quantizable(ps, leaf):
             return leaf, jnp.full((), jnp.nan, jnp.float32)
         w = jnp.asarray(leaf, jnp.float32)
         axes = tuple(range(w.ndim - 1))

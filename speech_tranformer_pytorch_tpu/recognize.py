@@ -61,7 +61,9 @@ class Recognizer:
             from .ops.quantize import quantize_params
             # Quantize from the f32 checkpoint values (params were cast to
             # bf16 above — re-deriving scales from bf16 would double-round).
-            self.params = quantize_params(params)
+            # embedding_rows: per-row int8 embedding serves both the token
+            # gather and the tied logits matmul (decoder._embedding_table).
+            self.params = quantize_params(params, embedding_rows=True)
         if mesh is not None:
             from .parallel.sharding import param_shardings
             # Host snapshot first: device_put of a device-COMMITTED array

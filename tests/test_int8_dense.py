@@ -333,3 +333,57 @@ class TestInt8KVCache:
         np.testing.assert_allclose(np.asarray(lg[True]),
                                    np.asarray(lg[False]),
                                    rtol=0.0, atol=0.15)
+
+
+class TestInt8EmbeddingRows:
+    """Per-row int8 embedding (quantize_params(embedding_rows=True)): one
+    orientation serving both the token gather and the tied logits matmul
+    (models/decoder.py::_embedding_table)."""
+
+    def test_rows_quantized_and_bounded(self):
+        from speech_tranformer_pytorch_tpu.ops.quantize import (
+            dequantize_params, quantize_params)
+        emb = jax.random.normal(jax.random.PRNGKey(0), (32, 16)) * \
+            (1.0 + jnp.arange(32)[:, None] / 8.0)     # row-varying scale
+        params = {"params": {"decoder": {"embed": {"embedding": emb}}}}
+        qp, sc = quantize_params(params, embedding_rows=True)
+        q = qp["params"]["decoder"]["embed"]["embedding"]
+        s = sc["params"]["decoder"]["embed"]["embedding"]
+        assert q.dtype == jnp.int8 and s.shape == (32, 1)
+        dq = dequantize_params(qp, sc, jnp.float32)
+        err = jnp.abs(dq["params"]["decoder"]["embed"]["embedding"] - emb)
+        assert bool(jnp.all(err <= s / 2 + 1e-6))
+        # default stays excluded (r4 contract)
+        qp0, _ = quantize_params(params)
+        assert qp0["params"]["decoder"]["embed"]["embedding"].dtype != jnp.int8
+
+    def test_decode_step_with_int8_embedding_close(self, monkeypatch):
+        # Full decode step with the raw-int8 embedding in the variables:
+        # logits must track the dequant-tree path (gather + logits both).
+        from speech_tranformer_pytorch_tpu.config import tiny_config
+        from speech_tranformer_pytorch_tpu.models import SpeechTransformer
+        from speech_tranformer_pytorch_tpu.ops.quantize import (
+            decode_variables, dequantize_params, quantize_params)
+        cfg = tiny_config().model.replace(
+            vocab_size=32, d_model=64, num_heads=2, d_ff=128,
+            num_encoder_layers=1, num_decoder_layers=1, dropout_rate=0.0)
+        model = SpeechTransformer(cfg)
+        rng = jax.random.PRNGKey(0)
+        feats = jax.random.normal(rng, (2, 64, cfg.input_dim))
+        fl = jnp.full((2,), 64, jnp.int32)
+        params = model.init(rng, feats, fl, jnp.zeros((2, 4), jnp.int32),
+                            jnp.full((2,), 4, jnp.int32))
+        qp, sc = quantize_params(params, embedding_rows=True)
+        v8 = decode_variables(qp, sc, jnp.float32)
+        assert v8["params"]["decoder"]["embed"]["embedding"].dtype == jnp.int8
+        vd = dequantize_params(qp, sc, jnp.float32)
+        mem, ml = model.apply(vd, feats, fl, method=SpeechTransformer.encode)
+        toks = jnp.ones((2,), jnp.int32)
+        lg = {}
+        for v in ("v8", "vd"):
+            var = v8 if v == "v8" else vd
+            c = model.apply(var, mem, 6, method=SpeechTransformer.init_cache)
+            lg[v], _ = model.apply(var, toks, jnp.int32(0), c, ml,
+                                   method=SpeechTransformer.decode_step)
+        np.testing.assert_allclose(np.asarray(lg["v8"]), np.asarray(lg["vd"]),
+                                   rtol=0.0, atol=0.1)

@@ -62,7 +62,7 @@ def bench(b, frames=1000, beam=5, max_len=50):
     ti = jnp.zeros((b, 5), jnp.int32)
     params = model.init(rng, feats, fl, ti, jnp.full((b,), 5, jnp.int32))
     p16 = cast_params(params, jnp.bfloat16)
-    qp = quantize_params(params)
+    qp = quantize_params(params, embedding_rows=True)   # production --int8
 
     if beam == 1:
         base = jax.jit(functools.partial(greedy_decode_jit, model,
