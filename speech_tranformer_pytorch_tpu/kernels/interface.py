@@ -126,6 +126,51 @@ def int8_dense(x: jnp.ndarray,       # [m, k] float (activation sliver)
     return int8_matmul_reference(x, wq, scale)
 
 
+def int8_ffn_dispatchable(m: int, k: int, ff: int, n: int) -> bool:
+    """Should an int8-weight FFN use the fused Pallas kernel
+    (kernels/int8_ffn.py)? One launch for ``relu(x@w1)@w2`` with the
+    [m, ff] hidden kept in VMEM. Wins at smaller weight sizes than the
+    per-matmul kernel because it also removes a launch and the hidden's
+    HBM round-trip — the threshold covers the COMBINED weight bytes.
+    Kill switch for A/B: ST_TPU_DISABLE_INT8_FFN=1."""
+    if os.environ.get("ST_TPU_DISABLE_INT8_FFN") == "1":
+        return False
+    min_bytes = int(os.environ.get("ST_TPU_INT8_MIN_WEIGHT_BYTES",
+                                   2 * 2 ** 20))
+    if (k % 128 != 0 or ff % 128 != 0 or n % 128 != 0
+            or k * ff + ff * n < min_bytes):
+        return False
+    block_ff = next(bf for bf in (512, 256, 128) if ff % bf == 0)
+    mp = -(-m // 16) * 16
+    vmem = (mp * k * 2 + 2 * (k * block_ff + block_ff * n)
+            + mp * n * 8 + (ff + n) * 8)
+    return vmem <= 12 * 2 ** 20
+
+
+def int8_ffn(x, w1q, s1, b1, w2q, s2, b2):
+    """Fused int8 FFN dispatch: Pallas kernel on TPU (call only for
+    shapes passing ``int8_ffn_dispatchable``), jnp reference (identical
+    math) elsewhere. Returns [m, n] in the activation's dtype class."""
+    from .int8_ffn import int8_ffn as kernel
+    from .int8_ffn import int8_ffn_reference
+
+    m, k = x.shape
+    ff = w1q.shape[1]
+    n = w2q.shape[1]
+    if _pallas_ok():
+        block_ff = next(bf for bf in (512, 256, 128) if ff % bf == 0)
+        mp = -(-m // 16) * 16
+        odt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+        try:
+            xp = x if mp == m else jnp.pad(x, ((0, mp - m), (0, 0)))
+            out = kernel(xp, w1q, s1, b1, w2q, s2, b2,
+                         block_ff=block_ff, out_dtype=odt)
+            return out if mp == m else out[:m]
+        except (NotImplementedError, ImportError):
+            pass
+    return int8_ffn_reference(x, w1q, s1, b1, w2q, s2, b2)
+
+
 def lineage_attention(q_new, self_k, self_v, lineage, index, beam_width):
     """Gather-free beam self-attention over the unpermuted KV cache
     (kernels/lineage_attention.py): fused Pallas kernel on TPU (native

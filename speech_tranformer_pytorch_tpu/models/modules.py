@@ -597,6 +597,34 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool) -> jnp.ndarray:
+        # Fused int8 FFN (kernels/int8_ffn.py): when BOTH kernels are int8
+        # (decode_variables) and dropout is inactive, one Pallas launch
+        # runs relu(x@w1)@w2 with the [m, d_ff] hidden VMEM-resident —
+        # removes a launch plus the hidden's HBM round-trip on top of the
+        # int8 weight stream.
+        if (self.has_variable("params", "Dense_0")
+                and (deterministic or self.dropout_rate == 0.0)):
+            p0 = self.get_variable("params", "Dense_0")
+            p1 = self.get_variable("params", "Dense_1")
+            if (p0["kernel"].dtype == jnp.int8
+                    and p1["kernel"].dtype == jnp.int8
+                    and self.has_variable("qscales", "Dense_0")):
+                from ..kernels.interface import (int8_ffn,
+                                                 int8_ffn_dispatchable)
+                lead, k = x.shape[:-1], x.shape[-1]
+                m = int(np.prod(lead)) if lead else 1
+                ff = p0["kernel"].shape[1]
+                n = p1["kernel"].shape[1]
+                if int8_ffn_dispatchable(m, k, ff, n):
+                    s0 = self.get_variable("qscales", "Dense_0")["kernel"]
+                    s1 = self.get_variable("qscales", "Dense_1")["kernel"]
+                    out = int8_ffn(
+                        x.reshape(m, k),
+                        p0["kernel"], s0.reshape(ff).astype(jnp.float32),
+                        p0["bias"].astype(jnp.float32),
+                        p1["kernel"], s1.reshape(n).astype(jnp.float32),
+                        p1["bias"].astype(jnp.float32))
+                    return out.astype(self.dtype).reshape(lead + (n,))
         # Names pinned to nn.Dense's auto-names so pre-existing checkpoints
         # load unchanged (QuantDenseGeneral == nn.Dense param tree).
         x = QuantDenseGeneral(self.d_ff, dtype=self.dtype, name="Dense_0")(x)

@@ -387,3 +387,82 @@ class TestInt8EmbeddingRows:
                                    method=SpeechTransformer.decode_step)
         np.testing.assert_allclose(np.asarray(lg["v8"]), np.asarray(lg["vd"]),
                                    rtol=0.0, atol=0.1)
+
+
+class TestInt8FusedFFN:
+    """Fused int8 FFN kernel (kernels/int8_ffn.py): relu(x@w1)@w2 in one
+    launch, hidden VMEM-resident, scales on the f32 accumulators."""
+
+    def _ffn_case(self, m, k, ff, n, seed=0):
+        r = jax.random.PRNGKey(seed)
+        ks = jax.random.split(r, 7)
+        x = jax.random.normal(ks[0], (m, k), jnp.float32)
+        w1 = jax.random.randint(ks[1], (k, ff), -127, 128, jnp.int8)
+        s1 = jax.random.uniform(ks[2], (ff,), jnp.float32, 0.001, 0.02)
+        b1 = jax.random.normal(ks[3], (ff,)) * 0.1
+        w2 = jax.random.randint(ks[4], (ff, n), -127, 128, jnp.int8)
+        s2 = jax.random.uniform(ks[5], (n,), jnp.float32, 0.001, 0.02)
+        b2 = jax.random.normal(ks[6], (n,)) * 0.1
+        return x, w1, s1, b1, w2, s2, b2
+
+    @pytest.mark.parametrize("m,k,ff,n,bff", [
+        (16, 128, 256, 128, 128),     # 2 ff blocks
+        (48, 512, 2048, 512, 512),    # base FFN shape, 4 blocks
+    ])
+    def test_kernel_matches_reference(self, m, k, ff, n, bff):
+        from speech_tranformer_pytorch_tpu.kernels.int8_ffn import (
+            int8_ffn, int8_ffn_reference)
+        args = self._ffn_case(m, k, ff, n)
+        x = args[0].astype(jnp.bfloat16)
+        want = int8_ffn_reference(x, *args[1:])
+        got = int8_ffn(x, *args[1:], block_ff=bff, interpret=True)
+        # Per-block f32 partial sums reorder the accumulation vs the
+        # reference's single dot: bound the error relative to the row
+        # magnitude, not elementwise (outputs are O(1e3) at these shapes).
+        scale = np.maximum(np.abs(np.asarray(want)).max(axis=1,
+                                                        keepdims=True), 1.0)
+        err = np.abs(np.asarray(got) - np.asarray(want)) / scale
+        assert err.max() < 1e-3, err.max()
+
+    def test_reference_matches_composed_matmuls(self):
+        x, w1, s1, b1, w2, s2, b2 = self._ffn_case(8, 128, 256, 128)
+        from speech_tranformer_pytorch_tpu.kernels.int8_ffn import (
+            int8_ffn_reference)
+        h = int8_matmul_reference(x, w1, s1) + b1[None, :]
+        h = jnp.maximum(h, 0.0)
+        want = int8_matmul_reference(h, w2, s2) + b2[None, :]
+        got = int8_ffn_reference(x, w1, s1, b1, w2, s2, b2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_feedforward_module_dispatches_fused(self, monkeypatch):
+        monkeypatch.setenv("ST_TPU_INT8_MIN_WEIGHT_BYTES", "0")
+        from speech_tranformer_pytorch_tpu.kernels.int8_ffn import (
+            int8_ffn_reference)
+        from speech_tranformer_pytorch_tpu.models.modules import FeedForward
+        ffn = FeedForward(d_ff=256, d_model=128, dropout_rate=0.0,
+                          dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 128))
+        v = ffn.init(jax.random.PRNGKey(0), x, deterministic=True)
+        qs, ps = {}, {}
+        for name in ("Dense_0", "Dense_1"):
+            w = v["params"][name]["kernel"]
+            s = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
+            wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+            ps[name] = {"kernel": wq, "bias": v["params"][name]["bias"]}
+            qs[name] = {"kernel": s}
+        out = ffn.apply({"params": ps, "qscales": qs}, x,
+                        deterministic=True)
+        want = int8_ffn_reference(
+            x, ps["Dense_0"]["kernel"], qs["Dense_0"]["kernel"].reshape(256),
+            ps["Dense_0"]["bias"], ps["Dense_1"]["kernel"],
+            qs["Dense_1"]["kernel"].reshape(128), ps["Dense_1"]["bias"])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        # disabled kill switch falls back to the unfused path — close but
+        # not identical (dequant-rounded weights vs scale-after)
+        monkeypatch.setenv("ST_TPU_DISABLE_INT8_FFN", "1")
+        out2 = ffn.apply({"params": ps, "qscales": qs}, x,
+                         deterministic=True)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
+                                   rtol=0.0, atol=0.05)

@@ -162,6 +162,36 @@ def test_int8_matmul_compiled_matches_reference():
 
 
 @requires_tpu
+def test_int8_ffn_compiled_matches_reference():
+    """TPU-COMPILED equality of the fused int8 FFN kernel vs its jnp
+    reference at the decode shapes that dispatch it (base + d2048 FFN).
+    Row-relative bound: per-block f32 partial sums reorder accumulation
+    vs the reference's single dot."""
+    import numpy as np
+
+    from speech_tranformer_pytorch_tpu.kernels.int8_ffn import (
+        int8_ffn, int8_ffn_reference)
+
+    rng = np.random.default_rng(0)
+    for m, k, ff, n in ((80, 512, 2048, 512),      # base FFN, B=16 beam 5
+                        (48, 2048, 8192, 2048)):   # d2048 serving FFN
+        x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        w1 = jnp.asarray(rng.integers(-127, 128, (k, ff)).astype(np.int8))
+        s1 = jnp.asarray(rng.uniform(1e-3, 2e-2, ff).astype(np.float32))
+        b1 = jnp.asarray(rng.standard_normal(ff).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.integers(-127, 128, (ff, n)).astype(np.int8))
+        s2 = jnp.asarray(rng.uniform(1e-3, 2e-2, n).astype(np.float32))
+        b2 = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.1)
+        got = np.asarray(int8_ffn(x, w1, s1, b1, w2, s2, b2, block_ff=512,
+                                  out_dtype=jnp.float32))
+        want = np.asarray(int8_ffn_reference(x, w1, s1, b1, w2, s2, b2))
+        scale = np.maximum(np.abs(want).max(axis=1, keepdims=True), 1.0)
+        rel = (np.abs(got - want) / scale).max()
+        assert rel < 1e-3, (m, k, ff, n, rel)
+
+
+@requires_tpu
 def test_candidate_topk_compiled_matches_reference():
     """TPU-COMPILED (Mosaic, not interpret) equality of the fused
     beam-candidate top-k kernel vs the jnp reference — exact indices and
