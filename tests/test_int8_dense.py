@@ -466,3 +466,38 @@ class TestInt8FusedFFN:
                          deterministic=True)
         np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
                                    rtol=0.0, atol=0.05)
+
+
+class TestDispatchThresholds:
+    """The size-aware dispatch contract (BENCHMARKS.md r5): Pallas int8
+    kernels only for blocks big enough that the bandwidth cut beats the
+    launch + lost fusion; smaller blocks take the measured-neutral
+    dequant fall-through."""
+
+    def test_int8_dense_threshold(self, monkeypatch):
+        from speech_tranformer_pytorch_tpu.kernels.interface import (
+            int8_dense_dispatchable)
+        # base blocks (<= ~1 MB) below the 2 MB default: no kernel
+        assert not int8_dense_dispatchable(80, 512, 1536)     # qkv 0.75 MB
+        assert not int8_dense_dispatchable(160, 512, 2048)    # ffn w1 1 MB
+        # d2048 blocks: kernel
+        assert int8_dense_dispatchable(48, 2048, 6144)        # 12 MB
+        assert int8_dense_dispatchable(48, 8192, 2048)        # 16 MB
+        # alignment always required
+        assert not int8_dense_dispatchable(48, 2048, 6100)
+        assert not int8_dense_dispatchable(48, 2000, 6144)
+        # env override
+        monkeypatch.setenv("ST_TPU_INT8_MIN_WEIGHT_BYTES", "0")
+        assert int8_dense_dispatchable(80, 512, 1536)
+
+    def test_int8_ffn_threshold(self, monkeypatch):
+        from speech_tranformer_pytorch_tpu.kernels.interface import (
+            int8_ffn_dispatchable)
+        # COMBINED weight bytes: base FFN (2.1 MB) clears the 2 MB default
+        assert int8_ffn_dispatchable(80, 512, 2048, 512)
+        assert int8_ffn_dispatchable(48, 2048, 8192, 2048)
+        # tiny FFN below
+        assert not int8_ffn_dispatchable(8, 128, 256, 128)
+        # kill switch
+        monkeypatch.setenv("ST_TPU_DISABLE_INT8_FFN", "1")
+        assert not int8_ffn_dispatchable(80, 512, 2048, 512)
